@@ -1,0 +1,20 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+This mirrors the SURVEY §4 rebuild test plan: multi-device code paths are
+exercised without TPU hardware via ``xla_force_host_platform_device_count``.
+Must be set before JAX initializes its backend, hence at conftest import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
