@@ -1,0 +1,337 @@
+"""YOLOv5-family building blocks as flax.linen modules (NHWC, bf16 compute).
+
+Re-derivation of the kindle module vocabulary exercised by the reference's
+model YAMLs (SURVEY.md §2.2; res/configs/model/*.yaml): Conv, Bottleneck, C3,
+SPP, SPPF, Focus, UpSample, Concat, MV2Block, MobileViTBlock, GlobalAvgPool,
+Flatten, Linear. Architecture semantics follow the public YOLOv5 / MobileNetV2
+/ MobileViT papers — not the reference's torch code.
+
+TPU-first design notes:
+  - NHWC everywhere: channels-last is the native TPU conv layout; the MXU
+    contracts over the trailing (channel) dimension without relayout copies.
+  - Params are fp32; compute dtype is configurable (bf16 by default in the
+    builder) so convs hit the MXU at full rate while BN stats stay fp32.
+  - BatchNorm carries eps=1e-3, momentum=0.97 (flax convention; equals the
+    torch momentum 0.03 used by YOLOv5) so imported torch weights validate.
+  - All ops are shape-static and jit-friendly; no Python control flow on
+    traced values.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+ACTIVATIONS = {
+    "SiLU": jax.nn.silu,
+    "Swish": jax.nn.silu,
+    "ReLU": jax.nn.relu,
+    "ReLU6": lambda x: jnp.clip(x, 0.0, 6.0),
+    "LeakyReLU": lambda x: jax.nn.leaky_relu(x, 0.1),
+    "Hardswish": jax.nn.hard_swish,
+    "Mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "Sigmoid": jax.nn.sigmoid,
+    "Tanh": jnp.tanh,
+    "Identity": lambda x: x,
+    None: lambda x: x,
+}
+
+
+def get_activation(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
+    if callable(name):
+        return name
+    return ACTIVATIONS[name]
+
+
+def autopad(k: int, p: Optional[int] = None) -> int:
+    """'same'-style padding for odd kernels (YOLOv5 autopad convention)."""
+    return k // 2 if p is None else p
+
+
+class ConvBnAct(nn.Module):
+    """Conv2d + BatchNorm + activation — the universal YOLOv5 'Conv' block.
+
+    ``fuse``: when True the BatchNorm is folded into the conv (kernel/bias
+    transformed offline by :func:`ayolov2_tpu.models.builder.fuse_params`)
+    and this module runs conv+bias+act only — the TPU-native analogue of the
+    reference's ``model.fuse()`` (used at val.py:331).
+    """
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: Optional[int] = None
+    groups: int = 1
+    act: Optional[str] = "SiLU"
+    dtype: Dtype = jnp.float32
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        p = autopad(self.kernel_size, self.padding)
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            feature_group_count=self.groups,
+            use_bias=self.fuse,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if not self.fuse:
+            x = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
+        return get_activation(self.act)(x)
+
+
+class Bottleneck(nn.Module):
+    """Standard YOLOv5 bottleneck: 1x1 -> 3x3 with optional residual."""
+
+    features: int
+    shortcut: bool = True
+    groups: int = 1
+    expansion: float = 0.5
+    act: Optional[str] = "SiLU"
+    dtype: Dtype = jnp.float32
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        c_hidden = int(self.features * self.expansion)
+        y = ConvBnAct(c_hidden, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv1")(x, training)
+        y = ConvBnAct(
+            self.features, 3, 1, groups=self.groups, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv2"
+        )(y, training)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = x + y
+        return y
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convolutions (YOLOv5 C3)."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    groups: int = 1
+    expansion: float = 0.5
+    act: Optional[str] = "SiLU"
+    dtype: Dtype = jnp.float32
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        c_ = int(self.features * self.expansion)
+        y1 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv1")(x, training)
+        for i in range(self.n):
+            y1 = Bottleneck(
+                c_, self.shortcut, self.groups, 1.0, act=self.act, dtype=self.dtype, fuse=self.fuse, name=f"m{i}"
+            )(y1, training)
+        y2 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv2")(x, training)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv3")(y, training)
+
+
+def _max_pool_same(x: jax.Array, k: int) -> jax.Array:
+    """k x k max pool, stride 1, same padding (NHWC)."""
+    p = k // 2
+    return nn.max_pool(x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)])
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (parallel max pools, yolov5_v5.yaml:34)."""
+
+    features: int
+    kernels: Sequence[int] = (5, 9, 13)
+    act: Optional[str] = "SiLU"
+    dtype: Dtype = jnp.float32
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        c_ = x.shape[-1] // 2
+        x = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv1")(x, training)
+        pools = [x] + [_max_pool_same(x, k) for k in self.kernels]
+        y = jnp.concatenate(pools, axis=-1)
+        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv2")(y, training)
+
+
+class SPPF(nn.Module):
+    """Fast SPP: 3 cascaded max pools equivalent to SPP(5,9,13)."""
+
+    features: int
+    kernel: int = 5
+    act: Optional[str] = "SiLU"
+    dtype: Dtype = jnp.float32
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        c_ = x.shape[-1] // 2
+        x = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv1")(x, training)
+        y1 = _max_pool_same(x, self.kernel)
+        y2 = _max_pool_same(y1, self.kernel)
+        y3 = _max_pool_same(y2, self.kernel)
+        y = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv2")(y, training)
+
+
+class Focus(nn.Module):
+    """Space-to-depth 2x2 slicing + Conv (legacy YOLOv5 stem, yolov5_v5.yaml:21)."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    act: Optional[str] = "SiLU"
+    dtype: Dtype = jnp.float32
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        # torch order: [::2, ::2], [1::2, ::2], [::2, 1::2], [1::2, 1::2] over (h, w)
+        y = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
+            axis=-1,
+        )
+        return ConvBnAct(
+            self.features, self.kernel_size, self.stride, act=self.act, dtype=self.dtype, fuse=self.fuse, name="conv"
+        )(y, training)
+
+
+class UpSample(nn.Module):
+    """Nearest-neighbor upsample by integer factor (torch nn.Upsample analogue)."""
+
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        # repeat is cheaper than jax.image.resize for integer nearest upsampling
+        x = jnp.repeat(x, self.scale, axis=1)
+        return jnp.repeat(x, self.scale, axis=2)
+
+
+class MV2Block(nn.Module):
+    """MobileNetV2 inverted residual (arXiv:1801.04381; yolov5_mobilevit.yaml)."""
+
+    features: int
+    stride: int = 1
+    expansion: int = 4
+    act: Optional[str] = "SiLU"
+    dtype: Dtype = jnp.float32
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        c_in = x.shape[-1]
+        hidden = int(round(c_in * self.expansion))
+        y = x
+        if self.expansion != 1:
+            y = ConvBnAct(hidden, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="expand")(y, training)
+        y = ConvBnAct(
+            hidden, 3, self.stride, groups=hidden, act=self.act, dtype=self.dtype, fuse=self.fuse, name="depthwise"
+        )(y, training)
+        y = ConvBnAct(self.features, 1, 1, act=None, dtype=self.dtype, fuse=self.fuse, name="project")(y, training)
+        if self.stride == 1 and c_in == self.features:
+            y = x + y
+        return y
+
+
+class _TransformerBlock(nn.Module):
+    """Pre-norm transformer encoder block for MobileViT."""
+
+    dim: int
+    mlp_dim: int
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln1")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, param_dtype=jnp.float32, name="attn"
+        )(y, y)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln2")(x)
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
+        y = jax.nn.silu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(y)
+        return x + y
+
+
+class MobileViTBlock(nn.Module):
+    """MobileViT block (arXiv:2110.02178): local conv rep + global transformer.
+
+    Args follow the reference YAML contract `[conv_channel, mlp_channel, depth]`
+    (yolov5_mobilevit.yaml:27 comment); output channels == input channels.
+    Patch size 2x2; requires H and W divisible by 2 (static shapes).
+    """
+
+    dim: int
+    mlp_dim: int
+    depth: int
+    patch: int = 2
+    act: Optional[str] = "SiLU"
+    dtype: Dtype = jnp.float32
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        c_in = x.shape[-1]
+        # Local representation
+        y = ConvBnAct(c_in, 3, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="local_conv")(x, training)
+        y = ConvBnAct(self.dim, 1, 1, act=None, dtype=self.dtype, fuse=self.fuse, name="proj_in")(y, training)
+
+        # Unfold into non-overlapping patch tokens: (B, ph*pw, H/ph*W/pw, d)
+        b, h, w, d = y.shape
+        ph = pw = self.patch
+        y = y.reshape(b, h // ph, ph, w // pw, pw, d)
+        y = y.transpose(0, 2, 4, 1, 3, 5).reshape(b, ph * pw, (h // ph) * (w // pw), d)
+
+        for i in range(self.depth):
+            y = _TransformerBlock(self.dim, self.mlp_dim, dtype=self.dtype, name=f"tr{i}")(y)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln_out")(y)
+
+        # Fold back
+        y = y.reshape(b, ph, pw, h // ph, w // pw, d).transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, d)
+
+        y = ConvBnAct(c_in, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="proj_out")(y, training)
+        y = jnp.concatenate([x, y], axis=-1)
+        return ConvBnAct(c_in, 3, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="fusion")(y, training)
+
+
+class GlobalAvgPool(nn.Module):
+    """Global average pool to (B, 1, 1, C) (simclr.yaml:38)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+class Flatten(nn.Module):
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        return x.reshape(x.shape[0], -1)
+
+
+class Linear(nn.Module):
+    features: int
+    act: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        x = nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32, name="fc")(x)
+        return get_activation(self.act)(x)

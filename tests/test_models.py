@@ -1,0 +1,193 @@
+"""Model builder tests: golden param counts, shapes, decode, fuse parity.
+
+Golden parameter counts come from the reference README pretrained table
+(README.md:206-211); matching them exactly validates the re-derived
+architecture (depth/width scaling, C3 internals, head channels).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ayolov2_tpu.models import build_model, count_params, fuse_params
+from ayolov2_tpu.models.yolo_head import check_anchor_order, make_grid
+
+YOLOV5S = {
+    "input_size": [640, 640],
+    "input_channel": 3,
+    "depth_multiple": 0.33,
+    "width_multiple": 0.5,
+    "anchors": [
+        [10, 13, 16, 30, 33, 23],
+        [30, 61, 62, 45, 59, 119],
+        [116, 90, 156, 198, 373, 326],
+    ],
+    "n_classes": 80,
+    "backbone": [
+        [-1, 1, "Conv", [64, 6, 2, 2], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [128, 3, 2], {"activation": "SiLU"}],
+        [-1, 3, "C3", [128], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [256, 3, 2], {"activation": "SiLU"}],
+        [-1, 6, "C3", [256], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [512, 3, 2], {"activation": "SiLU"}],
+        [-1, 9, "C3", [512], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [1024, 3, 2], {"activation": "SiLU"}],
+        [-1, 3, "C3", [1024], {"activation": "SiLU"}],
+        [-1, 1, "SPPF", [1024, 5], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [512, 1, 1], {"activation": "SiLU"}],
+        [-1, 1, "UpSample", [None, 2]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [256, 1, 1], {"activation": "SiLU"}],
+        [-1, 1, "UpSample", [None, 2]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 3, "C3", [256, False], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [256, 3, 2], {"activation": "SiLU"}],
+        [[-1, 14], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [512, 3, 2], {"activation": "SiLU"}],
+        [[-1, 10], 1, "Concat", [1]],
+        [-1, 3, "C3", [1024, False], {"activation": "SiLU"}],
+    ],
+    "head": [[[17, 20, 23], 1, "YOLOHead", [80, "anchors"]]],
+}
+YOLOV5S["head"][0][3][1] = YOLOV5S["anchors"]
+
+
+def _param_count(cfg, **overrides):
+    cfg = dict(cfg, **overrides)
+    m = build_model(cfg)
+    v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True))
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"])), m
+
+
+def test_yolov5s_golden_param_count():
+    """README.md:206 — yolov5s has 7,235,389 parameters."""
+    n, m = _param_count(YOLOV5S)
+    assert n == 7_235_389
+    assert m.strides == (8.0, 16.0, 32.0)
+
+
+def test_yolov5_scaling_golden_param_counts():
+    """README.md:207-211 — m/l/x param counts under depth/width multiples."""
+    for dm, wm, want in [(0.67, 0.75, 21_190_557), (1.0, 1.0, 46_563_709), (1.33, 1.25, 86_749_405)]:
+        n, _ = _param_count(YOLOV5S, depth_multiple=dm, width_multiple=wm)
+        assert n == want, f"depth={dm} width={wm}: {n} != {want}"
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    """A tiny detection model (fast to compile) sharing the real topology."""
+    cfg = dict(YOLOV5S, depth_multiple=0.33, width_multiple=0.125)
+    m = build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    return cfg, m, v
+
+
+def test_forward_train_shapes(small_model):
+    cfg, m, v = small_model
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    raw, _ = m.apply(v, x, training=True, mutable=["batch_stats"])
+    assert len(raw) == 3
+    na, no = 3, 85
+    assert raw[0].shape == (2, 8, 8, na, no)
+    assert raw[1].shape == (2, 4, 4, na, no)
+    assert raw[2].shape == (2, 2, 2, na, no)
+
+
+def test_forward_eval_decode(small_model):
+    cfg, m, v = small_model
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    dec, raw = m.apply(v, x, training=False)
+    total = sum(3 * s * s for s in (8, 4, 2))
+    assert dec.shape == (2, total, 85)
+    dec = np.asarray(dec)
+    # decoded xy must lie within ±stride of the image bounds; obj/cls in [0,1]
+    assert dec[..., 0].min() > -32 and dec[..., 0].max() < 64 + 32
+    assert dec[..., 4:].min() >= 0 and dec[..., 4:].max() <= 1
+
+
+def test_fuse_params_equivalence(small_model):
+    cfg, m, v = small_model
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    dec, _ = m.apply(v, x, training=False)
+    mf = build_model(cfg, fused=True)
+    vf = fuse_params(v)
+    decf, _ = mf.apply(vf, x, training=False)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(decf), atol=2e-3, rtol=1e-3)
+
+
+def test_out_xyxy(small_model):
+    cfg, m, v = small_model
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    dec, _ = m.apply(v, x, training=False)
+    mx = build_model(cfg, out_xyxy=True)
+    decx, _ = mx.apply(v, x, training=False)
+    want = np.concatenate(
+        [
+            np.asarray(dec[..., :2]) - np.asarray(dec[..., 2:4]) / 2,
+            np.asarray(dec[..., :2]) + np.asarray(dec[..., 2:4]) / 2,
+            np.asarray(dec[..., 4:]),
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(decx), want, atol=1e-5)
+
+
+def test_headless_graph():
+    """simclr.yaml-style graph returns a flat embedding."""
+    cfg = {
+        "input_channel": 3,
+        "depth_multiple": 0.33,
+        "width_multiple": 0.125,
+        "backbone": [
+            [-1, 1, "Conv", [64, 6, 2, 2], {"activation": "SiLU"}],
+            [-1, 1, "Conv", [128, 3, 2], {"activation": "SiLU"}],
+            [-1, 3, "C3", [128], {"activation": "SiLU"}],
+        ],
+        "head": [
+            [-1, 1, "GlobalAvgPool", [1]],
+            [-1, 1, "Flatten", []],
+            [-1, 1, "Linear", [64], {"activation": "SiLU"}],
+            [-1, 1, "Linear", [16]],
+        ],
+    }
+    m = build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    out = m.apply(v, jnp.zeros((2, 64, 64, 3)), training=False)
+    assert out.shape == (2, 16)
+
+
+def test_mobilevit_modules():
+    """MV2Block + MobileViTBlock graph builds and runs (yolov5_mobilevit.yaml)."""
+    cfg = {
+        "input_channel": 3,
+        "depth_multiple": 1,
+        "width_multiple": 1,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2], {"activation": "SiLU"}],
+            [-1, 1, "MV2Block", [32, 1, 4], {"activation": "SiLU"}],
+            [-1, 1, "MV2Block", [64, 2, 4], {"activation": "SiLU"}],
+            [-1, 1, "MobileViTBlock", [48, 96, 2], {"activation": "SiLU"}],
+        ],
+        "head": [],
+    }
+    m = build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), training=True)
+    out = m.apply(v, jnp.zeros((2, 32, 32, 3)), training=False)
+    assert out.shape == (2, 8, 8, 64)
+
+
+def test_check_anchor_order():
+    strides = [8, 16, 32]
+    good = np.array([[[10, 13]], [[30, 61]], [[116, 90]]], dtype=np.float32)
+    np.testing.assert_allclose(check_anchor_order(good, strides), good)
+    flipped = check_anchor_order(good[::-1].copy(), strides)
+    np.testing.assert_allclose(flipped, good)
+
+
+def test_make_grid():
+    g = make_grid(2, 3)
+    assert g.shape == (2, 3, 1, 2)
+    np.testing.assert_allclose(g[1, 2, 0], [2, 1])  # xy order
