@@ -1,0 +1,337 @@
+"""YOLO functional augmentations (host-side numpy/cv2).
+
+Behavioral parity targets in /root/reference/scripts/augmentation/
+yolo_augmentation.py: copy_paste (:21-64), copy_paste2 (:79-196),
+random_perspective (:199-332), cutout (:335-373), mixup (:376-394),
+augment_hsv (:397-422); plus the named-policy engine of
+scripts/augmentation/augmentation.py:63-138 (albumentations-by-name — here
+implemented directly with cv2 since albumentations isn't available).
+
+RNG discipline: every function takes a ``np.random.Generator`` so workers
+are seedable and runs reproducible (SURVEY §7 'Augmentation RNG fidelity' —
+we do not replicate Python's `random` stream, we make ours deterministic).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from ayolov2_tpu.utils.boxes import bbox_ioa
+from ayolov2_tpu.utils.general import box_candidates, resample_segments, segment2box
+
+
+def augment_hsv(
+    im: np.ndarray, rng: np.random.Generator, hgain: float = 0.5, sgain: float = 0.5, vgain: float = 0.5
+) -> np.ndarray:
+    """LUT-based HSV jitter (in place on a BGR uint8 image)."""
+    if not (hgain or sgain or vgain):
+        return im
+    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_BGR2HSV))
+    x = np.arange(0, 256, dtype=r.dtype)
+    lut_hue = ((x * r[0]) % 180).astype(im.dtype)
+    lut_sat = np.clip(x * r[1], 0, 255).astype(im.dtype)
+    lut_val = np.clip(x * r[2], 0, 255).astype(im.dtype)
+    im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+    cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=im)
+    return im
+
+
+def mixup(
+    im: np.ndarray, labels: np.ndarray, im2: np.ndarray, labels2: np.ndarray, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Beta(32, 32) image blend, labels concatenated."""
+    r = rng.beta(32.0, 32.0)
+    im = (im * r + im2 * (1 - r)).astype(np.uint8)
+    return im, np.concatenate((labels, labels2), 0)
+
+
+def cutout(im: np.ndarray, labels: np.ndarray, rng: np.random.Generator, p: float = 0.5) -> np.ndarray:
+    """Random occlusion masks; drops labels obscured > 60% (in place)."""
+    if rng.random() >= p:
+        return labels
+    h, w = im.shape[:2]
+    scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 + [0.03125] * 16
+    for s in scales:
+        mask_h = rng.integers(1, max(int(h * s), 2))
+        mask_w = rng.integers(1, max(int(w * s), 2))
+        xmin = max(0, int(rng.integers(0, w)) - mask_w // 2)
+        ymin = max(0, int(rng.integers(0, h)) - mask_h // 2)
+        xmax = min(w, xmin + mask_w)
+        ymax = min(h, ymin + mask_h)
+        im[ymin:ymax, xmin:xmax] = [int(rng.integers(64, 192)) for _ in range(3)]
+        if len(labels) and s > 0.03:
+            box = np.array([xmin, ymin, xmax, ymax], dtype=np.float32)
+            ioa = bbox_ioa(box, labels[:, 1:5])
+            labels = labels[ioa < 0.60]
+    return labels
+
+
+def copy_paste(
+    im: np.ndarray,
+    labels: np.ndarray,
+    segments: List[np.ndarray],
+    rng: np.random.Generator,
+    p: float = 0.5,
+) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+    """Flip-LR segment paste within one image (IoA < 0.30 gate)."""
+    n = len(segments)
+    if p and n:
+        h, w, _ = im.shape
+        im_new = np.zeros(im.shape, np.uint8)
+        for j in rng.permutation(n)[: round(p * n)]:
+            lab, s = labels[j], segments[j]
+            box = w - lab[3], lab[2], w - lab[1], lab[4]
+            ioa = bbox_ioa(np.asarray(box, np.float32), labels[:, 1:5])
+            if (ioa < 0.30).all():
+                labels = np.concatenate((labels, [[lab[0], *box]]), 0)
+                segments.append(np.concatenate((w - s[:, 0:1], s[:, 1:2]), 1))
+                cv2.drawContours(im_new, [segments[j].astype(np.int32)], -1, (255, 255, 255), cv2.FILLED)
+        result = cv2.bitwise_and(src1=im, src2=im_new)
+        result = cv2.flip(result, 1)
+        i = result > 0
+        im[i] = result[i]
+    return im, labels, segments
+
+
+def copy_paste2(
+    im1: np.ndarray,
+    labels1: np.ndarray,
+    seg1: List[np.ndarray],
+    im2: np.ndarray,
+    labels2: np.ndarray,
+    seg2: List[np.ndarray],
+    rng: np.random.Generator,
+    scale_min: float = 0.35,
+    scale_max: float = 1.0,
+    p: float = 0.5,
+    n_trial: int = 5,
+    area_thr: float = 10,
+    ioa_thr: float = 0.3,
+) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+    """Cross-image scaled object paste with placement retries."""
+    n = len(seg2)
+    if p and n:
+        h, w, _ = im1.shape
+        im_new = np.zeros(im1.shape, np.uint8)
+        for j in rng.permutation(n)[: round(p * n)]:
+            label, segment = labels2[j], seg2[j]
+            if (int(label[4] - label[2]) * int(label[3] - label[1])) < area_thr:
+                continue
+            zero_box = label - np.array([0, label[1], label[2], label[1], label[2]])
+            zero_seg = segment - label[1:3]
+            for _ in range(n_trial):
+                sf = rng.uniform(scale_min, scale_max)
+                sbox = zero_box[1:] * sf
+                max_x = w - (sbox[2] - sbox[0]) - 1
+                max_y = h - (sbox[3] - sbox[1]) - 1
+                if max_x <= 0 or max_y <= 0:
+                    continue
+                x = rng.uniform(0, max_x)
+                y = rng.uniform(0, max_y)
+                new_box = np.concatenate(([label[0]], sbox)) + np.array([0, x, y, x, y])
+                ioa = bbox_ioa(new_box[1:5], labels1[:, 1:5]) if len(labels1) else np.zeros(0)
+                if (ioa < ioa_thr).all():
+                    bw = int(new_box[3]) - int(new_box[1])
+                    bh = int(new_box[4]) - int(new_box[2])
+                    if bw * bh < area_thr:
+                        continue
+                    labels1 = np.concatenate((labels1, [new_box]), 0) if len(labels1) else new_box[None]
+                    seg1.append(zero_seg * sf + np.array([x, y]))
+                    mask = np.zeros(im2.shape, np.uint8)
+                    cv2.drawContours(mask, [segment.astype(np.int32)], -1, (255, 255, 255), cv2.FILLED)
+                    cut = cv2.bitwise_and(src1=im2, src2=mask)
+                    x1, y1, x2, y2 = int(label[1]), int(label[2]), int(label[3]), int(label[4])
+                    obj = cv2.resize(cut[y1:y2, x1:x2, :], (0, 0), fx=sf, fy=sf)
+                    px, py = int(x), int(y)
+                    im_new[py : py + obj.shape[0], px : px + obj.shape[1], :] = obj
+                    break
+        i = im_new > 0
+        im1[i] = im_new[i]
+    return im1, labels1, seg1
+
+
+def random_perspective(
+    im: np.ndarray,
+    targets: np.ndarray,
+    rng: np.random.Generator,
+    segments: Sequence[np.ndarray] = (),
+    degrees: float = 10,
+    translate: float = 0.1,
+    scale: float = 0.1,
+    shear: float = 10,
+    perspective: float = 0.0,
+    border: Tuple[int, int] = (0, 0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Combined center/perspective/rotate-scale/shear/translate warp.
+
+    targets are (n, 5) [cls, x1, y1, x2, y2]; the affine matrix composition
+    order T @ S @ R @ P @ C is load-bearing.
+    """
+    height = im.shape[0] + border[0] * 2
+    width = im.shape[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -im.shape[1] / 2
+    C[1, 2] = -im.shape[0] / 2
+
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+
+    M = T @ S @ R @ P @ C
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    n = len(targets)
+    if n:
+        use_segments = any(x.any() for x in segments)
+        new = np.zeros((n, 4))
+        if use_segments:
+            segments = resample_segments(list(segments))
+            for i, segment in enumerate(segments):
+                xy = np.ones((len(segment), 3))
+                xy[:, :2] = segment
+                xy = xy @ M.T
+                xy = xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]
+                new[i] = segment2box(xy, width, height)
+        else:
+            xy = np.ones((n * 4, 3))
+            xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+            xy = xy @ M.T
+            xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+            x = xy[:, [0, 2, 4, 6]]
+            y = xy[:, [1, 3, 5, 7]]
+            new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+            new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+            new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+
+        i = box_candidates(box1=targets[:, 1:5].T * s, box2=new.T, area_thr=0.01 if use_segments else 0.10)
+        targets = targets[i]
+        targets[:, 1:5] = new[i]
+
+    return im, targets
+
+
+# --------------------------------------------------------------------------
+# Named pixel-level policy engine — the reference's AugmentationPolicy
+# (augmentation.py:63-138) maps albumentations transform names; we implement
+# the names its shipped configs use (train_config.yaml augmentation section)
+# directly with cv2. Each entry: name -> fn(img, rng, **params) -> img.
+# Geometric flips additionally adjust labels.
+# --------------------------------------------------------------------------
+
+
+def _blur(im, rng, blur_limit=7):
+    k = int(rng.integers(3, blur_limit + 1)) | 1
+    return cv2.blur(im, (k, k))
+
+
+def _median_blur(im, rng, blur_limit=7):
+    k = int(rng.integers(3, blur_limit + 1)) | 1
+    return cv2.medianBlur(im, k)
+
+
+def _to_gray(im, rng):
+    g = cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
+    return cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)
+
+
+def _clahe(im, rng, clip_limit=4.0, tile_grid_size=(8, 8)):
+    clahe = cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=tuple(tile_grid_size))
+    lab = cv2.cvtColor(im, cv2.COLOR_BGR2LAB)
+    lab[..., 0] = clahe.apply(lab[..., 0])
+    return cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+
+
+def _brightness_contrast(im, rng, brightness_limit=0.2, contrast_limit=0.2):
+    alpha = 1.0 + rng.uniform(-contrast_limit, contrast_limit)
+    beta = rng.uniform(-brightness_limit, brightness_limit) * 255
+    return cv2.convertScaleAbs(im, alpha=alpha, beta=beta)
+
+
+def _random_gamma(im, rng, gamma_limit=(80, 120)):
+    gamma = rng.uniform(gamma_limit[0], gamma_limit[1]) / 100.0
+    lut = np.clip(((np.arange(256) / 255.0) ** gamma) * 255.0, 0, 255).astype(np.uint8)
+    return cv2.LUT(im, lut)
+
+
+def _image_compression(im, rng, quality_lower=75, quality_upper=100):
+    q = int(rng.integers(quality_lower, quality_upper + 1))
+    ok, enc = cv2.imencode(".jpg", im, [cv2.IMWRITE_JPEG_QUALITY, q])
+    return cv2.imdecode(enc, cv2.IMREAD_COLOR) if ok else im
+
+
+_PIXEL_TRANSFORMS = {
+    "Blur": _blur,
+    "MedianBlur": _median_blur,
+    "ToGray": _to_gray,
+    "CLAHE": _clahe,
+    "RandomBrightnessContrast": _brightness_contrast,
+    "RandomGamma": _random_gamma,
+    "ImageCompression": _image_compression,
+}
+
+
+class MultiAugmentationPolicies:
+    """Sequential named-transform policies with probabilities.
+
+    Config shape (train_config.yaml ``augmentation``)::
+
+        - policy: {Blur: {p: 0.01}, HorizontalFlip: {p: 0.5}}
+          prob: 1.0
+
+    Unknown transform names raise at construction (fail fast, unlike the
+    reference's runtime getattr).
+    """
+
+    def __init__(self, policies: Optional[List[Dict]] = None) -> None:
+        self.policies = policies or []
+        for pol in self.policies:
+            for name in pol.get("policy", {}):
+                if name not in _PIXEL_TRANSFORMS and name not in ("HorizontalFlip", "VerticalFlip"):
+                    raise ValueError(f"Unknown augmentation transform: {name}")
+
+    def __call__(
+        self, img: np.ndarray, labels: np.ndarray, rng: np.random.Generator
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Apply policies. ``labels`` are (n, 5) [cls, xywh-normalized]."""
+        for pol in self.policies:
+            if rng.random() >= pol.get("prob", 1.0):
+                continue
+            for name, params in pol.get("policy", {}).items():
+                params = dict(params or {})
+                p = params.pop("p", 0.5)
+                if rng.random() >= p:
+                    continue
+                if name == "HorizontalFlip":
+                    img = np.fliplr(img).copy()
+                    if len(labels):
+                        labels[:, 1] = 1.0 - labels[:, 1]
+                elif name == "VerticalFlip":
+                    img = np.flipud(img).copy()
+                    if len(labels):
+                        labels[:, 2] = 1.0 - labels[:, 2]
+                else:
+                    img = _PIXEL_TRANSFORMS[name](img, rng, **params)
+        return img, labels

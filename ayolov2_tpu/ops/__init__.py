@@ -1,0 +1,5 @@
+"""Compute ops: fixed-shape NMS (XLA + Pallas), pooling, image ops."""
+
+from ayolov2_tpu.ops.nms import batched_nms, non_max_suppression_np
+
+__all__ = ["batched_nms", "non_max_suppression_np"]

@@ -1,0 +1,18 @@
+"""Distributed layer: device mesh, sharding specs, collectives-by-construction.
+
+The reference's DDP/DP/SyncBN stack (scripts/train/train_model_builder.py:75-141,
+SURVEY §2.4) maps to a single concept here: a 1-D ``data`` mesh with pjit.
+XLA inserts the gradient all-reduce (the DDP analogue) automatically; BatchNorm
+statistics are computed over the *global* sharded batch inside the jitted
+train step, which IS SyncBatchNorm — no wrapper needed. Per-host input
+sharding replaces DistributedSampler (ayolov2_tpu.data.loader shard=).
+"""
+
+from ayolov2_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = ["get_mesh", "batch_sharding", "replicate", "shard_batch"]

@@ -1,0 +1,91 @@
+"""Benchmark: yolov5s serving path (uint8 in -> NMS'd boxes out) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full on-device pipeline the reference benchmarks with TensorRT
+(cpp/src/torchscript_runner/main.cpp:20-51 runs 137 iterations of a
+(32,3,640,640) fp16 forward): here it's letterboxed uint8 batch -> /255 ->
+fused-conv bf16 forward -> decode -> batched NMS -> fixed (bs, 100, 6)
+detections, all inside one jit.
+
+vs_baseline compares against 1000 images/sec — a conservative estimate of
+A100 TensorRT fp16 yolov5s end-to-end throughput at batch 32 (the
+BASELINE.json north star is >2x this on a v5e chip; the reference publishes
+no hard number, README.md:275 reports 21.2 ms/img for yolov5x on an
+unspecified GPU).
+"""
+
+import json
+import time
+
+import numpy as np
+
+from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
+
+_jax_setup()
+
+A100_TRT_YOLOV5S_IMG_PER_SEC = 1000.0  # documented estimate, see module docstring
+
+BATCH = 32
+SIZE = 640
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ayolov2_tpu.models import build_model, fuse_params
+    from ayolov2_tpu.ops.nms import batched_nms
+
+    model = build_model("res/configs/model/yolov5s.yaml", dtype=jnp.bfloat16, fused=True)
+    # fused-conv params: init unfused stats then fold (serving-path parity with
+    # the reference's model.fuse() before val/export)
+    unfused = build_model("res/configs/model/yolov5s.yaml", dtype=jnp.bfloat16)
+    variables = unfused.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.uint8), training=False)
+    fused = fuse_params(variables)
+
+    @jax.jit
+    def serve(images):
+        imgs = images.astype(jnp.bfloat16) / 255.0
+        decoded, _ = model.apply(fused, imgs, training=False)
+        det, n = batched_nms(
+            decoded.astype(jnp.float32),
+            conf_thres=0.001,
+            iou_thres=0.65,
+            nms_box=1000,
+            pre_top_k=512,
+            keep_top_k=100,
+            multi_label=False,
+        )
+        return det, n
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
+
+    for _ in range(WARMUP):
+        det, n = serve(images)
+        jax.block_until_ready(det)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        det, n = serve(images)
+    jax.block_until_ready(det)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"yolov5s_{SIZE}_bs{BATCH}_serve_images_per_sec",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / A100_TRT_YOLOV5S_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

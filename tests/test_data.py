@@ -1,0 +1,142 @@
+"""Data pipeline tests against the real fixture datasets.
+
+Uses the reference repo's checked-in mini VOC/COCO datasets (read-only mount)
+— the same fixture pattern as the reference's tests (SURVEY §4).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ayolov2_tpu.data import DataLoader, DetectionDataset, ImageFolderDataset
+from ayolov2_tpu.data.datasets import letterbox, _parse_label_file, _img2label_path
+
+VOC_TRAIN = "/root/reference/tests/res/datasets/VOC/images/train"
+COCO_VAL = "/root/reference/tests/res/datasets/coco/images/val2017"
+
+pytestmark = pytest.mark.skipif(not Path(VOC_TRAIN).exists(), reason="fixture datasets unavailable")
+
+
+def test_letterbox_geometry():
+    im = np.zeros((480, 640, 3), np.uint8)
+    out, ratio, (dw, dh) = letterbox(im, (640, 640), auto=False)
+    assert out.shape == (640, 640, 3)
+    assert ratio == (1.0, 1.0)
+    assert (dw, dh) == (0.0, 80.0)
+    # auto mode pads only to stride multiple
+    out2, _, _ = letterbox(im, (640, 640), auto=True, stride=32)
+    assert out2.shape == (480, 640, 3)
+    # scale_up=False never enlarges
+    small = np.zeros((100, 100, 3), np.uint8)
+    out3, r3, _ = letterbox(small, (640, 640), auto=False, scale_up=False)
+    assert r3 == (1.0, 1.0)
+
+
+def test_label_path_mapping():
+    p = _img2label_path("/data/images/train/img1.jpg", "labels")
+    assert str(p) == "/data/labels/train/img1.txt"
+    p = _img2label_path("/data/images/train/img1.jpg", "segments")
+    assert str(p) == "/data/segments/train/img1.txt"
+
+
+def test_image_folder_dataset():
+    ds = ImageFolderDataset(VOC_TRAIN, img_size=320, batch_size=8, rect=False)
+    assert len(ds) > 50
+    img, (h0, w0), (ratio, pad) = ds[0]
+    assert img.shape == (320, 320, 3)
+    assert img.dtype == np.uint8
+    assert h0 > 0 and w0 > 0
+
+
+def test_rect_batching_shapes():
+    ds = ImageFolderDataset(VOC_TRAIN, img_size=320, batch_size=8, rect=True, pad=0.5)
+    shapes = ds.batch_shapes
+    assert (shapes % 32 == 0).all()
+    img, _, _ = ds[0]
+    want = tuple(ds.batch_shapes[ds.batch_idx[0]])
+    assert img.shape[:2] == want
+
+
+def test_detection_dataset_no_augment():
+    ds = DetectionDataset(VOC_TRAIN, img_size=320, batch_size=4)
+    img, labels, path, shapes = ds[0]
+    assert img.shape == (320, 320, 3)
+    assert labels.ndim == 2 and labels.shape[1] == 5
+    if len(labels):
+        assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1.001).all()
+    (h0, w0), (r, pad) = shapes
+    assert h0 > 0
+
+
+def test_detection_dataset_mosaic_augment():
+    aug = {
+        "augment": True, "mosaic": 1.0, "mixup": 0.0, "copy_paste": 0.0,
+        "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+        "degrees": 0.0, "translate": 0.1, "scale": 0.5, "shear": 0.0, "perspective": 0.0,
+    }
+    ds = DetectionDataset(VOC_TRAIN, img_size=320, batch_size=4, yolo_augmentation=aug, seed=3)
+    for i in range(3):
+        img, labels, _, _ = ds[i]
+        assert img.shape == (320, 320, 3)
+        if len(labels):
+            assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1.001).all()
+
+
+def test_coco_segments_parsing():
+    seg_dir = Path("/root/reference/tests/res/datasets/coco/segments/val2017")
+    files = sorted(seg_dir.glob("*.txt"))[:5]
+    for f in files:
+        labels, segments = _parse_label_file(f)
+        assert labels.shape[1] == 5
+        assert len(segments) == len(labels)
+        for s in segments:
+            assert s.ndim == 2 and s.shape[1] == 2
+
+
+def test_coco_dataset_with_segments_and_copy_paste():
+    aug = {
+        "augment": True, "mosaic": 1.0, "copy_paste": 0.5,
+        "translate": 0.1, "scale": 0.5,
+    }
+    ds = DetectionDataset(
+        COCO_VAL, img_size=256, batch_size=4, label_type="segments",
+        yolo_augmentation=aug, seed=0,
+    )
+    img, labels, _, _ = ds[0]
+    assert img.shape == (256, 256, 3)
+
+
+def test_dataloader_fixed_shapes():
+    ds = DetectionDataset(VOC_TRAIN, img_size=320, batch_size=4)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, workers=2, max_labels_per_image=32)
+    n = 0
+    for batch in dl:
+        assert batch.images.shape == (4, 320, 320, 3)
+        assert batch.images.dtype == np.uint8
+        assert batch.targets.shape == (4 * 32, 6)
+        assert batch.target_mask.shape == (4 * 32,)
+        # image indices of valid targets in range
+        if batch.target_mask.any():
+            assert batch.targets[batch.target_mask, 0].max() < 4
+        n += 1
+        if n >= 3:
+            break
+    assert n == 3
+
+
+def test_dataloader_sharding():
+    ds = DetectionDataset(VOC_TRAIN, img_size=320, batch_size=8)
+    dl0 = DataLoader(ds, batch_size=8, shard=(0, 2), drop_last=True)
+    dl1 = DataLoader(ds, batch_size=8, shard=(1, 2), drop_last=True)
+    assert dl0.batch_size == 4
+    b0 = next(iter(dl0))
+    b1 = next(iter(dl1))
+    assert set(b0.paths).isdisjoint(set(b1.paths))
+
+
+def test_dataloader_deterministic_with_seed():
+    ds = DetectionDataset(VOC_TRAIN, img_size=320, batch_size=4)
+    paths1 = [b.paths for b in DataLoader(ds, batch_size=4, shuffle=True, seed=7)]
+    paths2 = [b.paths for b in DataLoader(ds, batch_size=4, shuffle=True, seed=7)]
+    assert paths1 == paths2

@@ -1,0 +1,158 @@
+"""Metrics tests: AP math, TP matching, standalone COCO evaluator."""
+
+import numpy as np
+import pytest
+
+from ayolov2_tpu.utils.metrics import (
+    COCOmAPEvaluator,
+    ConfusionMatrix,
+    IOUV,
+    ap_per_class,
+    compute_ap,
+    process_batch,
+)
+
+
+def test_compute_ap_perfect():
+    ap, _, _ = compute_ap(np.array([1.0]), np.array([1.0]))
+    assert ap == pytest.approx(1.0, abs=0.01)
+
+
+def test_compute_ap_half():
+    # one TP then one FP: recall [0.5, 0.5], precision [1.0, 0.5].
+    # The envelope + trapezoid integration yields 0.5 (perfect half) plus the
+    # declining tail 0.5->0 over recall 0.5->1: 0.5 + 0.125 = 0.625.
+    ap, _, _ = compute_ap(np.array([0.5, 0.5]), np.array([1.0, 0.5]))
+    assert ap == pytest.approx(0.6225, abs=0.01)
+
+
+def test_process_batch_exact_match():
+    det = np.array([[0, 0, 10, 10, 0.9, 1]], np.float64)
+    lab = np.array([[1, 0, 0, 10, 10]], np.float64)
+    correct = process_batch(det, lab)
+    assert correct.shape == (1, 10)
+    assert correct.all()  # IoU 1.0 passes every threshold
+
+
+def test_process_batch_class_mismatch():
+    det = np.array([[0, 0, 10, 10, 0.9, 2]], np.float64)
+    lab = np.array([[1, 0, 0, 10, 10]], np.float64)
+    assert not process_batch(det, lab).any()
+
+
+def test_process_batch_unique_label_claim():
+    # two detections on one label: only the higher-IoU one is TP
+    det = np.array(
+        [[0, 0, 10, 10, 0.9, 1], [1, 1, 11, 11, 0.8, 1]], np.float64
+    )
+    lab = np.array([[1, 0, 0, 10, 10]], np.float64)
+    correct = process_batch(det, lab)
+    assert correct[0, 0] and not correct[1, 0]
+
+
+def test_ap_per_class_perfect():
+    n = 20
+    tp = np.ones((n, 10), bool)
+    conf = np.linspace(0.9, 0.5, n)
+    cls = np.zeros(n)
+    tcls = np.zeros(n)
+    p, r, ap, f1, uc = ap_per_class(tp, conf, cls, tcls)
+    assert ap.shape == (1, 10)
+    assert ap.mean() == pytest.approx(1.0, abs=0.02)
+
+
+def test_ap_per_class_half_recall():
+    # 10 labels, 5 TP detections
+    tp = np.ones((5, 10), bool)
+    conf = np.linspace(0.9, 0.5, 5)
+    p, r, ap, f1, uc = ap_per_class(tp, conf, np.zeros(5), np.zeros(10))
+    # 101-pt interp with precision 1.0 up to recall 0.5 and a linear tail to
+    # (1, 0): 0.5 + 0.25 = 0.75 (matches the reference algorithm exactly)
+    assert ap[:, 0].mean() == pytest.approx(0.75, abs=0.02)
+
+
+def test_confusion_matrix():
+    cm = ConfusionMatrix(nc=3)
+    det = np.array([[0, 0, 10, 10, 0.9, 1], [20, 20, 30, 30, 0.9, 2]], np.float64)
+    lab = np.array([[1, 0, 0, 10, 10]], np.float64)
+    cm.process_batch(det, lab)
+    assert cm.matrix[1, 1] == 1  # correct class 1
+    assert cm.matrix[2, 3] == 1  # class-2 det on background
+
+
+def _mini_gt():
+    return {
+        "images": [{"id": 1, "width": 100, "height": 100}, {"id": 2, "width": 100, "height": 100}],
+        "categories": [{"id": 1, "name": "a"}, {"id": 3, "name": "b"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 3, "bbox": [50, 50, 30, 30], "area": 900, "iscrowd": 0},
+            {"id": 3, "image_id": 2, "category_id": 1, "bbox": [0, 0, 40, 40], "area": 1600, "iscrowd": 0},
+        ],
+    }
+
+
+def test_coco_evaluator_perfect():
+    ev = COCOmAPEvaluator(_mini_gt())
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 3, "bbox": [50, 50, 30, 30], "score": 0.8},
+        {"image_id": 2, "category_id": 1, "bbox": [0, 0, 40, 40], "score": 0.95},
+    ]
+    res = ev.evaluate(preds)
+    assert res["map50"] == pytest.approx(1.0, abs=0.01)
+    assert res["map50_95"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_coco_evaluator_miss_and_fp():
+    ev = COCOmAPEvaluator(_mini_gt())
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+        # class 3 GT missed entirely; plus an FP for class 1
+        {"image_id": 2, "category_id": 1, "bbox": [60, 60, 10, 10], "score": 0.8},
+    ]
+    res = ev.evaluate(preds)
+    # class 1: 1 of 2 found with an FP after it -> AP50 = 0.5; class 3: 0
+    assert res["map50"] == pytest.approx(0.25, abs=0.03)
+
+
+def test_coco_evaluator_localization_quality():
+    ev = COCOmAPEvaluator(_mini_gt())
+    # IoU ~0.58 box for image-1 class-1 GT: counts at IoU .5/.55 only
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [13, 13, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 3, "bbox": [50, 50, 30, 30], "score": 0.8},
+        {"image_id": 2, "category_id": 1, "bbox": [0, 0, 40, 40], "score": 0.95},
+    ]
+    res = ev.evaluate(preds)
+    assert res["map50"] == pytest.approx(1.0, abs=0.01)
+    assert res["map50_95"] < 0.9
+
+
+def test_coco_evaluator_yolo_id_fixmap():
+    ev = COCOmAPEvaluator(_mini_gt(), cat_from_yolo=True)
+    # YOLO class 0 -> COCO id 1, YOLO class 2 -> COCO id 3
+    preds = [
+        {"image_id": 1, "category_id": 0, "bbox": [10, 10, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 2, "bbox": [50, 50, 30, 30], "score": 0.8},
+        {"image_id": 2, "category_id": 0, "bbox": [0, 0, 40, 40], "score": 0.95},
+    ]
+    res = ev.evaluate(preds)
+    assert res["map50"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_coco_evaluator_crowd_ignored():
+    gt = _mini_gt()
+    gt["annotations"].append(
+        {"id": 4, "image_id": 2, "category_id": 1, "bbox": [50, 50, 40, 40], "area": 1600, "iscrowd": 1}
+    )
+    ev = COCOmAPEvaluator(gt)
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 3, "bbox": [50, 50, 30, 30], "score": 0.8},
+        {"image_id": 2, "category_id": 1, "bbox": [0, 0, 40, 40], "score": 0.95},
+        # matches only the crowd region -> ignored, not an FP
+        {"image_id": 2, "category_id": 1, "bbox": [55, 55, 30, 30], "score": 0.7},
+    ]
+    res = ev.evaluate(preds)
+    assert res["map50"] == pytest.approx(1.0, abs=0.01)

@@ -1,0 +1,146 @@
+"""NMS keep-set parity vs an independent numpy greedy reference.
+
+The numpy oracle below is a direct transcription of the classic greedy NMS
+algorithm (sort by score, suppress IoU > thr), which is what
+torchvision.ops.nms implements — the reference's keep-set semantics
+(scripts/utils/nms.py:66, scripts/utils/metrics.py:385-389).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ayolov2_tpu.ops.nms import MAX_WH, batched_nms, detections_to_list, non_max_suppression_np
+
+
+def np_greedy_nms(boxes: np.ndarray, scores: np.ndarray, iou_thres: float) -> np.ndarray:
+    """Oracle: indices kept by greedy NMS, score-descending."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (area_i + area - inter + 1e-7)
+        suppressed |= iou > iou_thres
+    return np.array(keep)
+
+
+def _random_pred(rng, bs=2, n=120, nc=8, img=640):
+    """Synthesize decoded predictions (bs, n, 5+nc): xywh + obj + cls probs."""
+    xy = rng.uniform(50, img - 50, (bs, n, 2))
+    wh = rng.uniform(10, 120, (bs, n, 2))
+    obj = rng.uniform(0, 1, (bs, n, 1))
+    cls = rng.dirichlet(np.ones(nc) * 0.2, (bs, n))
+    return np.concatenate([xy, wh, obj, cls], axis=-1).astype(np.float32)
+
+
+def test_greedy_nms_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    pred = _random_pred(rng)
+    conf_t, iou_t = 0.1, 0.5
+
+    det, n_valid = batched_nms(
+        jnp.asarray(pred), conf_thres=conf_t, iou_thres=iou_t,
+        nms_box=120, pre_top_k=120, keep_top_k=120, multi_label=False, nms_type="nms",
+    )
+    got = detections_to_list(np.asarray(det), np.asarray(n_valid))
+
+    for b in range(pred.shape[0]):
+        # independent oracle path: best-class confidences
+        confs = pred[b, :, 5:] * pred[b, :, 4:5]
+        scores = confs.max(-1)
+        cls = confs.argmax(-1).astype(np.float32)
+        m = scores > conf_t
+        xy, wh = pred[b, m, :2], pred[b, m, 2:4]
+        boxes = np.concatenate([xy - wh / 2, xy + wh / 2], -1)
+        keep = np_greedy_nms(boxes + cls[m, None] * MAX_WH, scores[m], iou_t)
+
+        want_boxes = boxes[keep]
+        want_scores = scores[m][keep]
+        assert len(got[b]) == len(keep), f"image {b}: {len(got[b])} vs {len(keep)}"
+        # sort both by score to compare (ties are rare with random floats)
+        np.testing.assert_allclose(np.sort(got[b][:, 4]), np.sort(want_scores), rtol=1e-5)
+        order_got = np.argsort(-got[b][:, 4])
+        order_want = np.argsort(-want_scores)
+        np.testing.assert_allclose(
+            got[b][order_got, :4], want_boxes[order_want], rtol=1e-4, atol=1e-2
+        )
+
+
+def test_agnostic_suppresses_across_classes():
+    # two identical boxes, different classes, both high conf
+    pred = np.zeros((1, 2, 7), dtype=np.float32)
+    pred[0, :, :2] = 100  # xy
+    pred[0, :, 2:4] = 50  # wh
+    pred[0, :, 4] = 0.9  # obj
+    pred[0, 0, 5] = 0.9
+    pred[0, 1, 6] = 0.8
+    common = dict(conf_thres=0.1, iou_thres=0.5, nms_box=2, pre_top_k=2, keep_top_k=5, multi_label=False)
+    _, n_class = batched_nms(jnp.asarray(pred), agnostic=False, **common)
+    _, n_agn = batched_nms(jnp.asarray(pred), agnostic=True, **common)
+    assert int(n_class[0]) == 2  # different classes survive class-aware NMS
+    assert int(n_agn[0]) == 1  # agnostic suppresses the weaker one
+
+
+def test_multi_label_emits_per_class_detections():
+    pred = np.zeros((1, 1, 7), dtype=np.float32)
+    pred[0, 0, :2] = 100
+    pred[0, 0, 2:4] = 50
+    pred[0, 0, 4] = 1.0
+    pred[0, 0, 5] = 0.8
+    pred[0, 0, 6] = 0.7
+    det, n = batched_nms(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5,
+        nms_box=1, pre_top_k=2, keep_top_k=5, multi_label=True,
+    )
+    assert int(n[0]) == 2
+    assert set(np.asarray(det[0, :2, 5]).astype(int)) == {0, 1}
+
+
+@pytest.mark.parametrize("nms_type", ["fast_nms", "matrix_nms", "merge_nms"])
+def test_nms_variants_run_and_bound(nms_type):
+    rng = np.random.default_rng(1)
+    pred = _random_pred(rng, bs=1, n=120)
+    det, n = batched_nms(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.5,
+        nms_box=120, pre_top_k=120, keep_top_k=100, multi_label=False, nms_type=nms_type,
+    )
+    assert det.shape == (1, 100, 6)
+    assert 0 < int(n[0]) <= 100
+    kept = np.asarray(det[0, : int(n[0])])
+    assert (kept[:, 4] > 0).all()
+    # scores must be descending
+    assert (np.diff(kept[:, 4]) <= 1e-6).all()
+
+
+def test_fixed_output_contract():
+    """Zero-padding + counts: the TRT BatchedNMS output contract."""
+    rng = np.random.default_rng(2)
+    pred = _random_pred(rng, bs=3, n=100)
+    det, n = batched_nms(
+        jnp.asarray(pred), conf_thres=0.9, iou_thres=0.5,
+        nms_box=100, pre_top_k=100, keep_top_k=20, multi_label=False,
+    )
+    det, n = np.asarray(det), np.asarray(n)
+    assert det.shape == (3, 20, 6)
+    for b in range(3):
+        assert (det[b, n[b]:] == 0).all()
+
+
+def test_hybrid_label_injection():
+    """GT labels appended as perfect detections (metrics.py:341-348)."""
+    pred = np.zeros((1, 5, 7), dtype=np.float32)  # no real detections
+    labels = [np.array([[1, 100.0, 100.0, 40.0, 40.0]])]  # cls=1 xywh
+    out = non_max_suppression_np(pred, conf_thres=0.25, labels=labels)
+    assert len(out[0]) == 1
+    np.testing.assert_allclose(out[0][0, :4], [80, 80, 120, 120], atol=1e-3)
+    assert out[0][0, 5] == 1

@@ -1,0 +1,156 @@
+"""Train-step tests: optimizer groups/schedules, EMA, pjit over the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ayolov2_tpu.loss import ComputeLoss
+from ayolov2_tpu.models import build_model
+from ayolov2_tpu.parallel import batch_sharding, get_mesh, replicate, shard_batch
+from ayolov2_tpu.train.optimizer import build_optimizer, make_group_schedules
+from ayolov2_tpu.train.train_state import EMA, create_train_state, make_eval_step, make_train_step
+from tests.test_loss import ANCHORS, HYP, _fake_batch
+
+TINY_CFG = {
+    "input_channel": 3,
+    "depth_multiple": 0.33,
+    "width_multiple": 0.125,
+    "anchors": [
+        [10, 13, 16, 30, 33, 23],
+        [30, 61, 62, 45, 59, 119],
+        [116, 90, 156, 198, 373, 326],
+    ],
+    "n_classes": 6,
+    "backbone": [
+        [-1, 1, "Conv", [64, 6, 2, 2], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [128, 3, 2], {"activation": "SiLU"}],
+        [-1, 1, "C3", [128], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [256, 3, 2], {"activation": "SiLU"}],
+        [-1, 1, "Conv", [512, 3, 2], {"activation": "SiLU"}],
+        [-1, 1, "SPPF", [512, 5], {"activation": "SiLU"}],
+    ],
+    "head": [[[3, 4, 5], 1, "YOLOHead", [6, None]]],
+}
+TINY_CFG["head"][0][3][1] = TINY_CFG["anchors"]
+
+
+def test_group_schedules_warmup():
+    lr_fn, mom_fn = make_group_schedules(
+        lr0=0.01, lrf=0.1, epochs=10, steps_per_epoch=500,
+        warmup_epochs=3.0, warmup_bias_lr=0.1, warmup_momentum=0.8, momentum=0.937,
+    )
+    # warmup start: weight lr 0, bias lr 0.1, momentum 0.8
+    assert float(lr_fn(jnp.asarray(0.0), "weight")) == pytest.approx(0.0)
+    assert float(lr_fn(jnp.asarray(0.0), "bias")) == pytest.approx(0.1)
+    assert float(mom_fn(jnp.asarray(0.0))) == pytest.approx(0.8)
+    # after warmup (nw=1500): all groups at lr0 * lf(epoch); momentum final
+    nw = 1500
+    lw = float(lr_fn(jnp.asarray(float(nw + 1)), "weight"))
+    lb = float(lr_fn(jnp.asarray(float(nw + 1)), "bias"))
+    assert lw == pytest.approx(lb, rel=1e-5)
+    assert float(mom_fn(jnp.asarray(float(nw + 1)))) == pytest.approx(0.937)
+    # cosine decays to lr0 * lrf at epoch == epochs
+    last = float(lr_fn(jnp.asarray(10.0 * 500), "weight"))
+    assert last == pytest.approx(0.01 * 0.1, rel=1e-6)
+
+
+def test_ema_rate_ramps():
+    ema = EMA(decay=0.9999, tau=2000.0)
+    assert float(ema.rate(jnp.asarray(1))) < 0.001
+    assert float(ema.rate(jnp.asarray(20000))) == pytest.approx(0.9999, rel=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = build_model(TINY_CFG, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    loss_fn = ComputeLoss.from_hyp(
+        np.asarray(model.head.stride_anchors() if model.head else ANCHORS), 6, HYP
+    )
+    tx = build_optimizer(
+        variables["params"], {"optimizer_params": {"lr": 0.01}, **HYP, "weight_decay": 5e-4},
+        epochs=3, steps_per_epoch=10, batch_size=8,
+    )
+    return model, variables, loss_fn, tx
+
+
+def _batch(bs=8, img=64, m=64):
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (bs, img, img, 3), dtype=np.uint8)
+    targets = np.zeros((m, 6), np.float32)
+    mask = np.zeros((m,), bool)
+    for i in range(bs):
+        targets[i] = [i, i % 6, 0.5, 0.5, 0.25, 0.25]
+        mask[i] = True
+    return images, targets, mask
+
+
+def test_single_device_train_step(tiny_setup):
+    model, variables, loss_fn, tx = tiny_setup
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, loss_fn, tx, image_dtype=jnp.float32))
+    images, targets, mask = _batch()
+    s1, items1 = step(state, images, targets, mask)
+    s2, items2 = step(s1, images, targets, mask)
+    assert int(s2.step) == 2
+    assert np.isfinite(np.asarray(items1)).all()
+    # params actually moved
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    # EMA trails params
+    de = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), s2.ema_params, s2.params)
+    assert max(jax.tree_util.tree_leaves(de)) > 0
+
+
+def test_multichip_pjit_train_step(tiny_setup):
+    """The dryrun_multichip path: 8-way data-parallel train step on CPU mesh."""
+    model, variables, loss_fn, tx = tiny_setup
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    mesh = get_mesh()
+    state = create_train_state(variables, tx)
+    state = jax.device_put(state, replicate(mesh))
+
+    step = jax.jit(
+        make_train_step(model, loss_fn, tx, image_dtype=jnp.float32),
+        in_shardings=(
+            replicate(mesh),
+            batch_sharding(mesh, 4),
+            replicate(mesh),  # targets carry cross-image rows; replicate
+            replicate(mesh),
+        ),
+        out_shardings=(replicate(mesh), replicate(mesh)),
+    )
+    images, targets, mask = _batch(bs=8)
+    images = jax.device_put(images, batch_sharding(mesh, 4))
+    new_state, items = step(state, images, targets, mask)
+    assert np.isfinite(np.asarray(items)).all()
+    assert int(new_state.step) == 1
+
+
+def test_eval_step_shapes(tiny_setup):
+    model, variables, loss_fn, tx = tiny_setup
+    state = create_train_state(variables, tx)
+    ev = jax.jit(make_eval_step(model, image_dtype=jnp.float32))
+    images, _, _ = _batch(bs=2)
+    out = ev(state, images)
+    assert out.shape[0] == 2 and out.shape[2] == 11  # 5 + nc
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_optimizer_group_labels(tiny_setup):
+    from ayolov2_tpu.train.optimizer import _param_labels
+
+    model, variables, loss_fn, tx = tiny_setup
+    labels = _param_labels(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    kinds = {}
+    for path, lab in flat:
+        kinds.setdefault(lab, 0)
+        kinds[lab] += 1
+    assert set(kinds) == {"bn_scale", "weight", "bias"}
+    # every bn leaf is in the no-decay group
+    for path, lab in flat:
+        names = [getattr(p, "key", "") for p in path]
+        if "bn" in names:
+            assert lab == "bn_scale"
