@@ -54,14 +54,21 @@ def xyxy2xywh(
     (reference general.py:243-293 clips with eps and asserts validity).
     """
     xp = _xp(x)
-    b = x
+    # normalize first, then clip in normalized space (general.py clips the
+    # normalized coords with eps — clipping pixel coords would collapse boxes)
+    x1 = x[..., 0] / wh[0]
+    y1 = x[..., 1] / wh[1]
+    x2 = x[..., 2] / wh[0]
+    y2 = x[..., 3] / wh[1]
     if clip_eps is not None:
-        b = xp.clip(b, clip_eps, 1.0 - clip_eps)
-    x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    cx = (x1 + x2) / 2 / wh[0]
-    cy = (y1 + y2) / 2 / wh[1]
-    w = (x2 - x1) / wh[0]
-    h = (y2 - y1) / wh[1]
+        x1 = xp.clip(x1, clip_eps, 1.0 - clip_eps)
+        y1 = xp.clip(y1, clip_eps, 1.0 - clip_eps)
+        x2 = xp.clip(x2, clip_eps, 1.0 - clip_eps)
+        y2 = xp.clip(y2, clip_eps, 1.0 - clip_eps)
+    cx = (x1 + x2) / 2
+    cy = (y1 + y2) / 2
+    w = x2 - x1
+    h = y2 - y1
     out = xp.stack([cx, cy, w, h], axis=-1)
     if check_validity and xp is np:
         assert (out >= 0).all(), "Box coordinates must be non-negative"

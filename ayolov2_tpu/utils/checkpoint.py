@@ -1,0 +1,160 @@
+"""Single-file msgpack checkpoints with the reference's ckpt semantics.
+
+Parity target (scripts/train/yolo_trainer.py:374-390 ``_save_weights``,
+scripts/utils/torch_utils.py:182-264 loaders):
+  - payload = {epoch, best_score, model (half), ema (half), optimizer state,
+    ema updates, [mAP50]}
+  - loaders prefer the ``ema`` branch over ``model`` (torch_utils.py:241-252)
+  - weight transfer across differing configs via shape-matched intersection
+    (``intersect_dicts``, torch_utils.py:147-158)
+
+TPU-first: the "model" is a pytree of fp32 params + batch_stats; half
+storage uses bfloat16 (the TPU-native 16-bit float, same exponent range as
+fp32 so no GradScaler round-trip issues). Serialization is flax msgpack —
+one portable file per checkpoint (last/best/epoch_N file naming preserved).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+CKPT_VERSION = 1
+
+
+def _cast_tree(tree: Any, dtype) -> Any:
+    def cast(x):
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating) or x.dtype == jnp.bfloat16:
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def save_checkpoint(
+    path: Union[str, Path],
+    state,
+    epoch: int,
+    best_score: float = 0.0,
+    map50: Optional[float] = None,
+    model_cfg: Optional[Dict[str, Any]] = None,
+    half: bool = True,
+    include_optimizer: bool = True,
+) -> None:
+    """Write one checkpoint file.
+
+    Args:
+        state: TrainState (or any pytree with params/batch_stats/ema_* and
+            opt_state attributes).
+        epoch: last completed epoch (resume starts at epoch+1).
+        best_score: best validation score so far.
+        map50: this checkpoint's mAP50 (stored for SWA ranking,
+            yolo_trainer.py:386-389).
+        model_cfg: the parsed model YAML dict — stored so val/export can
+            rebuild the graph without the original file.
+        half: store float trees as bfloat16.
+        include_optimizer: drop optimizer state for final/best artifacts.
+    """
+    fdtype = np.dtype(jnp.bfloat16) if half else np.float32
+    payload: Dict[str, Any] = {
+        "meta": {
+            "version": CKPT_VERSION,
+            "epoch": int(epoch),
+            "best_score": float(best_score),
+            "map50": -1.0 if map50 is None else float(map50),
+            "model_cfg": json.dumps(model_cfg) if model_cfg else "",
+            "ema_updates": int(np.asarray(state.ema_updates)) if hasattr(state, "ema_updates") else 0,
+            "step": int(np.asarray(state.step)) if hasattr(state, "step") else 0,
+        },
+        "model": {
+            "params": _cast_tree(jax.device_get(state.params), fdtype),
+            "batch_stats": _cast_tree(jax.device_get(state.batch_stats), np.float32),
+        },
+        "ema": {
+            "params": _cast_tree(jax.device_get(state.ema_params), fdtype),
+            "batch_stats": _cast_tree(jax.device_get(state.ema_batch_stats), np.float32),
+        },
+    }
+    if include_optimizer:
+        payload["optimizer"] = serialization.to_state_dict(jax.device_get(state.opt_state))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
+    """Read a checkpoint file back into plain nested dicts."""
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    return raw
+
+
+def load_variables(
+    path: Union[str, Path], prefer_ema: bool = True, dtype=np.float32
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Checkpoint -> ({'params', 'batch_stats'} fp32, meta dict).
+
+    Prefers the EMA branch like the reference loaders (torch_utils.py:241-252).
+    """
+    raw = load_checkpoint(path)
+    branch = raw.get("ema") if prefer_ema and raw.get("ema") else raw["model"]
+    variables = {
+        "params": _cast_tree(branch["params"], dtype),
+        "batch_stats": _cast_tree(branch.get("batch_stats", {}), np.float32),
+    }
+    return variables, raw.get("meta", {})
+
+
+def restore_train_state(path: Union[str, Path], template):
+    """Full resume: checkpoint + a freshly built TrainState template -> state.
+
+    Optimizer state is restored via flax ``from_state_dict`` against the
+    template's structure; float trees are cast back to the template dtypes.
+    """
+    raw = load_checkpoint(path)
+    meta = raw["meta"]
+
+    def like(src, ref):
+        return jax.tree_util.tree_map(lambda s, r: np.asarray(s, dtype=r.dtype).reshape(r.shape), src, ref)
+
+    new = template.replace(
+        params=like(raw["model"]["params"], template.params),
+        batch_stats=like(raw["model"]["batch_stats"], template.batch_stats),
+        ema_params=like(raw["ema"]["params"], template.ema_params),
+        ema_batch_stats=like(raw["ema"]["batch_stats"], template.ema_batch_stats),
+        ema_updates=jnp.asarray(meta["ema_updates"], jnp.int32),
+        step=jnp.asarray(meta["step"], jnp.int32),
+    )
+    if "optimizer" in raw:
+        new = new.replace(
+            opt_state=serialization.from_state_dict(template.opt_state, raw["optimizer"])
+        )
+    return new, meta
+
+
+def intersect_trees(src: Dict[str, Any], dst: Dict[str, Any]) -> Tuple[Dict[str, Any], int, int]:
+    """Shape-matched weight transfer (torch_utils.py:147-158 intersect_dicts).
+
+    Copies every leaf of ``src`` into a copy of ``dst`` where the path exists
+    and shapes match. Returns (merged, n_matched, n_total_dst_leaves).
+    """
+    matched = 0
+
+    def merge(s, d):
+        nonlocal matched
+        if isinstance(d, dict):
+            return {k: merge(s.get(k) if isinstance(s, dict) else None, v) for k, v in d.items()}
+        if s is not None and np.asarray(s).shape == np.asarray(d).shape:
+            matched += 1
+            return np.asarray(s, dtype=np.asarray(d).dtype)
+        return d
+
+    merged = merge(src, dst)
+    total = len(jax.tree_util.tree_leaves(dst))
+    return merged, matched, total

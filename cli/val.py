@@ -1,0 +1,178 @@
+"""Validate a trained model: mAP over a labeled val set.
+
+Parity target: /root/reference/val.py (load ckpt -> rect val loader ->
+fuse -> YoloValidator with optional TTA / half / hybrid-label / profile).
+TPU deltas: checkpoint is a msgpack pytree, "half" is bf16, fuse is the
+fuse_params transformation, and the whole forward+NMS runs as fixed-shape
+jitted device programs.
+
+Usage:
+    python cli/val.py --weights runs/train/xxx/best.ckpt --data-cfg res/configs/data/coco.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
+
+_jax_setup()
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ayolov2_tpu.data import DataLoader, DetectionDataset
+from ayolov2_tpu.eval import YoloValidator
+from ayolov2_tpu.models import build_model, count_params, fuse_params
+from ayolov2_tpu.utils.checkpoint import load_variables
+from ayolov2_tpu.utils.config import load_yaml
+from ayolov2_tpu.utils.general import check_img_size
+from ayolov2_tpu.utils.logger import get_logger
+
+LOGGER = get_logger("val")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Validate a model (reference val.py parity).")
+    parser.add_argument("--weights", type=str, default="", help="checkpoint path (.ckpt)")
+    parser.add_argument("--model-cfg", type=str, default="", help="model YAML (else from ckpt meta)")
+    parser.add_argument("--data-cfg", type=str, default="res/configs/data/coco.yaml")
+    parser.add_argument("-iw", "--img-width", type=int, default=640)
+    parser.add_argument("-ih", "--img-height", type=int, default=-1)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("-ct", "--conf-t", type=float, default=0.001)
+    parser.add_argument("-it", "--iou-t", type=float, default=0.65)
+    parser.add_argument("--nms-type", type=str, default="nms",
+                        choices=["nms", "batched_nms", "fast_nms", "matrix_nms", "merge_nms"])
+    parser.add_argument("--max-det", type=int, default=300)
+    parser.add_argument("--single-cls", action="store_true")
+    parser.add_argument("--tta", action="store_true", help="test-time augmentation")
+    parser.add_argument("--hybrid-label", action="store_true", help="inject GT into NMS candidates")
+    parser.add_argument("--no-half", action="store_true", help="fp32 compute instead of bf16")
+    parser.add_argument("--no-rect", action="store_true", help="square batches instead of rect")
+    parser.add_argument("--no-fuse", action="store_true", help="skip conv+BN folding")
+    parser.add_argument("--profile-step", type=int, default=0, help="profile forward N times")
+    parser.add_argument("-v", "--verbose", action="store_true", help="per-class metrics")
+    parser.add_argument("--n-skip", type=int, default=0, help="skip every n images")
+    parser.add_argument("--json-path", type=str, default="", help="write result metrics JSON here")
+    return parser
+
+
+def load_sidecar(weights: str, args: argparse.Namespace) -> None:
+    """Exported models carry a sidecar yaml that overrides CLI args at val
+    time (reference export.py:189-190 / val.py:246-275 semantics)."""
+    sidecar = Path(weights).with_suffix(".yaml")
+    if not sidecar.exists():
+        return
+    cfg = yaml.safe_load(sidecar.read_text()) or {}
+    for k, v in cfg.items():
+        k = k.replace("-", "_")
+        if hasattr(args, k):
+            setattr(args, k, v)
+            LOGGER.info("sidecar override: %s = %s", k, v)
+
+
+def profile_model(model, variables, img_hw, batch_size: int, n_run: int, dtype) -> float:
+    """Latency profile (kindle model.profile parity, val.py:337-342)."""
+    fwd = jax.jit(lambda im: model.apply(variables, im.astype(dtype) / 255.0, training=False)[0])
+    images = jnp.zeros((batch_size, img_hw[0], img_hw[1], 3), jnp.uint8)
+    jax.block_until_ready(fwd(images))  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_run):
+        out = fwd(images)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_run / batch_size * 1e3
+    LOGGER.info("Profile: %.2f ms/image (batch %d, %d runs)", dt, batch_size, n_run)
+    return dt
+
+
+def main() -> dict:
+    args = get_parser().parse_args()
+    if args.weights:
+        load_sidecar(args.weights, args)
+    if args.img_height < 0:
+        args.img_height = args.img_width
+
+    data_cfg = load_yaml(args.data_cfg)
+    nc = 1 if args.single_cls else int(data_cfg["nc"])
+    names = data_cfg.get("names") or [str(i) for i in range(nc)]
+
+    # --- model + weights ---
+    variables, meta = ({"params": {}, "batch_stats": {}}, {})
+    model_cfg = args.model_cfg
+    if args.weights:
+        variables, meta = load_variables(args.weights, prefer_ema=True)
+        if not model_cfg and meta.get("model_cfg"):
+            model_cfg = json.loads(meta["model_cfg"])
+    assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"
+
+    dtype = jnp.float32 if args.no_half else jnp.bfloat16
+    fuse = not args.no_fuse
+    model = build_model(model_cfg, dtype=dtype, fused=fuse, nc=None if args.single_cls else nc)
+    if not variables["params"]:
+        LOGGER.warning("no weights given: validating a randomly initialized model")
+        unfused = build_model(model_cfg, dtype=dtype, nc=None if args.single_cls else nc)
+        variables = unfused.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.uint8), training=False
+        )
+    if fuse:
+        variables = fuse_params(variables)
+    LOGGER.info("Model: %s params", f"{count_params(variables['params']):,}")
+
+    stride = int(max(model.stride))
+    h = check_img_size(args.img_height, stride)
+    w = check_img_size(args.img_width, stride)
+
+    dataset = DetectionDataset(
+        data_cfg["val_path"],
+        img_size=max(h, w),
+        batch_size=args.batch_size,
+        rect=not args.no_rect,
+        pad=0.5,
+        stride=stride,
+        n_skip=args.n_skip,
+        label_type="segments" if str(data_cfg.get("dataset", "")).lower() == "coco" else "labels",
+        single_cls=args.single_cls,
+    )
+    loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False, pad_final_batch=True)
+
+    if args.profile_step > 0:
+        profile_model(model, variables, (h, w), args.batch_size, args.profile_step, dtype)
+
+    validator = YoloValidator(
+        model,
+        variables,
+        loader,
+        class_names=names,
+        cfg={
+            "conf_t": args.conf_t,
+            "iou_t": args.iou_t,
+            "nms_type": args.nms_type,
+            "single_cls": args.single_cls,
+            "max_det": args.max_det,
+            "tta": args.tta,
+            "hybrid_label": args.hybrid_label,
+            "half": not args.no_half,
+            "verbose": args.verbose,
+        },
+    )
+    result = validator.validation()
+    if args.json_path:
+        out = {k: v for k, v in result.items() if k != "maps"}
+        Path(args.json_path).write_text(json.dumps(out, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Validator + TTA + checkpoint tests (reference test_val_model.py analogue)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ayolov2_tpu.data import DataLoader, DetectionDataset
+from ayolov2_tpu.eval import YoloValidator
+from ayolov2_tpu.models import build_model, fuse_params
+from ayolov2_tpu.ops.tta import clip_augmented, descale_pred, inference_with_tta, scale_img
+
+VOC_VAL = "/root/reference/tests/res/datasets/VOC/images/val"
+MODEL_CFG = "res/configs/model/yolov5s.yaml"
+
+needs_fixtures = pytest.mark.skipif(not Path(VOC_VAL).exists(), reason="fixture datasets unavailable")
+
+
+def _tiny_model_and_vars(img=64, nc=20):
+    model = build_model(MODEL_CFG, dtype=jnp.float32, nc=nc)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), training=False)
+    return model, variables
+
+
+def test_scale_img_pads_to_stride():
+    x = jnp.zeros((2, 64, 64, 3))
+    y = scale_img(x, 0.83, gs=32)
+    assert y.shape[1] % 32 == 0 and y.shape[2] % 32 == 0
+    assert y.shape[1] == 64  # 53 -> padded to 64
+
+
+def test_descale_pred_flip_roundtrip():
+    pred = jnp.asarray(np.random.default_rng(0).uniform(0, 64, (1, 10, 6)).astype(np.float32))
+    out = descale_pred(descale_pred(pred, 2, 1.0, (64, 64)), 2, 1.0, (64, 64))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pred), rtol=1e-6)
+
+
+def test_clip_augmented_trims_tails():
+    nl = 3
+    # fake 3 TTA outputs with n = na*sum(ny*nx) for an 64px input (8,4,2 grids)
+    n = 3 * (64 + 16 + 4)
+    ys = [jnp.zeros((1, n, 25)) for _ in range(3)]
+    out = clip_augmented(list(ys), nl, None)
+    g = sum(4 ** x for x in range(nl))
+    assert out[0].shape[1] == n - (n // g)  # large-grid tail dropped
+    assert out[-1].shape[1] == n - (n // g) * 4 ** (nl - 1)  # small-grid head dropped
+
+
+def test_tta_inference_shapes():
+    model, variables = _tiny_model_and_vars(img=64, nc=20)
+
+    def fwd(x):
+        return model.apply(variables, x, training=False)[0]
+
+    imgs = jnp.zeros((1, 64, 64, 3))
+    out = inference_with_tta(fwd, imgs, nl=3, gs=32)
+    assert out.ndim == 3 and out.shape[0] == 1 and out.shape[2] == 25
+
+
+@needs_fixtures
+def test_validator_full_loop_random_weights():
+    model, variables = _tiny_model_and_vars(img=64, nc=20)
+    dataset = DetectionDataset(VOC_VAL, img_size=64, batch_size=4, rect=False, stride=32)
+    loader = DataLoader(dataset, batch_size=4, shuffle=False)
+    v = YoloValidator(model, variables, loader, cfg={"half": False, "conf_t": 0.25})
+    result = v.validation()
+    assert 0.0 <= result["map50"] <= 1.0
+    assert result["seen"] >= len(dataset)
+    assert len(result["t"]) == 3
+
+
+@needs_fixtures
+def test_validator_hybrid_label_and_fused():
+    model = build_model(MODEL_CFG, dtype=jnp.float32, nc=20, fused=True)
+    unfused, variables = _tiny_model_and_vars(img=64, nc=20)
+    fused_vars = fuse_params(variables)
+    dataset = DetectionDataset(VOC_VAL, img_size=64, batch_size=4, rect=False, stride=32, n_skip=3)
+    loader = DataLoader(dataset, batch_size=4, shuffle=False)
+    v = YoloValidator(model, fused_vars, loader, cfg={"half": False, "hybrid_label": True})
+    result = v.validation()
+    # GT injected as perfect detections -> recall should be > 0 even untrained
+    assert result["mr"] > 0.1
+    assert result["map50"] > 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+
+    from ayolov2_tpu.train.train_state import create_train_state
+    from ayolov2_tpu.utils.checkpoint import (
+        intersect_trees,
+        load_variables,
+        restore_train_state,
+        save_checkpoint,
+    )
+
+    model, variables = _tiny_model_and_vars(img=64, nc=20)
+    tx = optax.sgd(0.01, momentum=0.9)
+    state = create_train_state(variables, tx)
+    state = state.replace(step=jnp.asarray(7, jnp.int32), ema_updates=jnp.asarray(7, jnp.int32))
+
+    p = tmp_path / "last.ckpt"
+    save_checkpoint(p, state, epoch=3, best_score=0.5, map50=0.42, model_cfg={"n_classes": 20})
+    assert p.exists()
+
+    vs, meta = load_variables(p)
+    assert meta["epoch"] == 3 and abs(meta["map50"] - 0.42) < 1e-6
+    ref_leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    got_leaf = jax.tree_util.tree_leaves(vs["params"])[0]
+    assert got_leaf.dtype == np.float32
+    # bf16 storage: equal to ~bf16 precision
+    np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf), atol=0.008, rtol=0.01)
+
+    template = create_train_state(variables, tx)
+    restored, meta2 = restore_train_state(p, template)
+    assert int(restored.step) == 7 and int(restored.ema_updates) == 7
+    assert meta2["best_score"] == 0.5
+
+    merged, n_match, n_total = intersect_trees(vs["params"], variables["params"])
+    assert n_match == n_total  # identical structure: everything transfers
