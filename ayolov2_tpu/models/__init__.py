@@ -5,6 +5,12 @@ reference (SURVEY.md §2.2) TPU-first: NHWC layouts, bf16 compute, static
 shapes, and a param-transform BN fusion instead of in-place module surgery.
 """
 
-from ayolov2_tpu.models.builder import YOLOModel, build_model, count_params, fuse_params
+from ayolov2_tpu.models.builder import (
+    YOLOModel,
+    build_model,
+    count_params,
+    fuse_params,
+    init_model,
+)
 
-__all__ = ["YOLOModel", "build_model", "count_params", "fuse_params"]
+__all__ = ["YOLOModel", "build_model", "count_params", "fuse_params", "init_model"]

@@ -1,0 +1,417 @@
+"""Trainers: the AbstractTrainer lifecycle + YoloTrainer.
+
+Parity targets:
+  - scripts/train/abstract_trainer.py:33-261 — lifecycle hooks
+    on_train_start -> [on_epoch_start -> training_step* -> on_epoch_end ->
+    validation] -> on_train_end, early-stop break, log_dict state.
+  - scripts/train/yolo_trainer.py:46-626 — warmup, gradient accumulation,
+    multi-scale, EMA, 3-group optimizer, cosine/linear schedule, best/last/
+    epoch_N checkpointing, early stopping on mAP50, image-weighted sampling,
+    auto-anchor on start.
+  - scripts/utils/model_manager.py:204-260 — loss-gain rescaling
+    (box*3/nl, cls*nc/80*3/nl, obj*(imgsz/640)^2*3/nl) and class weights.
+
+TPU-first deltas:
+  - The whole optimizer/EMA/grad pipeline is one jitted train_step under an
+    optional device Mesh: batch sharded over 'data', state replicated, XLA
+    inserts the gradient all-reduce (DDP) and global-batch BN stats (SyncBN).
+  - Warmup lr/momentum interpolation lives inside the jitted update as a
+    function of the step counter (train/optimizer.py) — no host lr pokes.
+  - Gradient accumulation is a fixed optax.MultiSteps wrapper (the
+    reference's warmup accumulate ramp is replaced by the lr warmup ramp —
+    a dynamic accumulate would force graph rebuilds).
+  - Multi-scale resizes on device; each quantized size is its own compiled
+    graph (a small, bounded set).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ayolov2_tpu.loss.yolo_loss import ComputeLoss
+from ayolov2_tpu.models.builder import count_params
+from ayolov2_tpu.parallel import batch_sharding, get_mesh, replicate
+from ayolov2_tpu.train.optimizer import NBS_NOMINAL, build_optimizer
+from ayolov2_tpu.train.train_state import TrainState, create_train_state, make_train_step
+from ayolov2_tpu.utils.anchors import check_anchors
+from ayolov2_tpu.utils.checkpoint import restore_train_state, save_checkpoint
+from ayolov2_tpu.utils.general import (
+    check_img_size,
+    labels_to_class_weights,
+    labels_to_image_weights,
+)
+from ayolov2_tpu.utils.logger import get_logger
+
+LOGGER = get_logger(__name__)
+
+
+class EarlyStopping:
+    """Stop when the score hasn't improved for ``patience`` epochs
+    (torch_utils.py:334-374)."""
+
+    def __init__(self, patience: int = 30) -> None:
+        self.best_score = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, score: float) -> bool:
+        if score >= self.best_score:
+            self.best_epoch = epoch
+            self.best_score = score
+        stop = (epoch - self.best_epoch) >= self.patience
+        if stop:
+            LOGGER.info(
+                "EarlyStopping: no improvement in last %d epochs (best %.4f @ epoch %d)",
+                self.patience, self.best_score, self.best_epoch,
+            )
+        return stop
+
+
+def scale_hyp_gains(hyp: Dict[str, Any], nl: int, nc: int, img_size: int) -> Dict[str, Any]:
+    """Loss-gain rescaling (model_manager.py:204-260 set_model_params)."""
+    out = dict(hyp)
+    out["box"] = hyp.get("box", 0.05) * 3.0 / nl
+    out["cls"] = hyp.get("cls", 0.5) * nc / 80.0 * 3.0 / nl
+    out["obj"] = hyp.get("obj", 1.0) * (img_size / 640.0) ** 2 * 3.0 / nl
+    return out
+
+
+class AbstractTrainer:
+    """Epoch/step lifecycle (abstract_trainer.py:33-261)."""
+
+    def __init__(self, epochs: int, start_epoch: int = 0) -> None:
+        self.epochs = epochs
+        self.start_epoch = start_epoch
+        self.current_epoch = start_epoch
+        self.is_early_stop = False
+        self.state_dict: Dict[str, Any] = {}
+
+    # hooks ---------------------------------------------------------------
+    def on_train_start(self) -> None: ...
+    def on_epoch_start(self, epoch: int) -> None: ...
+    def training_step(self, batch, batch_idx: int) -> Dict[str, float]:
+        raise NotImplementedError
+    def on_epoch_end(self, epoch: int) -> None: ...
+    def validation(self) -> None: ...
+    def on_train_end(self) -> None: ...
+    def epoch_iterator(self):
+        raise NotImplementedError
+
+    def log_dict(self, metrics: Dict[str, Any]) -> None:
+        self.state_dict.update(metrics)
+
+    # loop ------------------------------------------------------------------
+    def train(self) -> None:
+        self.on_train_start()
+        for epoch in range(self.start_epoch, self.epochs):
+            self.current_epoch = epoch
+            self.on_epoch_start(epoch)
+            for i, batch in enumerate(self.epoch_iterator()):
+                self.training_step(batch, i)
+            self.on_epoch_end(epoch)
+            self.validation()
+            if self.is_early_stop:
+                LOGGER.info("Early stopping at epoch %d", epoch)
+                break
+        self.on_train_end()
+
+
+class YoloTrainer(AbstractTrainer):
+    """The main detection trainer (yolo_trainer.py:46-626).
+
+    Args:
+        model: YOLOModel (unfused, training graph).
+        variables: initial {'params', 'batch_stats'}.
+        cfg: full train config (sections train / hyper_params).
+        train_loader: DataLoader over the train DetectionDataset.
+        val_loader: optional DataLoader for epoch validation.
+        log_dir: run directory for checkpoints.
+        class_names: for reports.
+        use_swa: save epoch_N checkpoints for SWA averaging.
+        n_devices: shard the batch over this many devices (None = all).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables: Dict[str, Any],
+        cfg: Dict[str, Any],
+        train_loader,
+        val_loader=None,
+        log_dir: str = "runs/train/exp",
+        class_names: Optional[List[str]] = None,
+        use_swa: bool = False,
+        n_devices: Optional[int] = None,
+        model_cfg_dict: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        tcfg = cfg["train"]
+        super().__init__(epochs=int(tcfg["epochs"]))
+        self.model = model
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.log_dir = Path(log_dir)
+        self.wdir = self.log_dir / "weights"
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        self.class_names = class_names or [str(i) for i in range(model.nc)]
+        self.use_swa = use_swa
+        self.model_cfg_dict = model_cfg_dict
+        self.best_score = 0.0
+        self.val_maps = np.zeros(model.nc)
+        self.stopper = EarlyStopping(int(tcfg.get("patience", 30)))
+
+        self.img_size = check_img_size(int(tcfg["image_size"]), int(max(model.stride)))
+        self.batch_size = int(tcfg["batch_size"])
+        self.multi_scale = bool(tcfg.get("multi_scale", False))
+        self.gs = int(max(model.stride))
+
+        # --- loss with rescaled gains (set_model_params parity) ---
+        hyp = dict(cfg["hyper_params"])
+        hyp["label_smoothing"] = float(tcfg.get("label_smoothing", 0.0))
+        self.hyp = scale_hyp_gains(hyp, model.nl, model.nc, self.img_size)
+        self.compute_loss = ComputeLoss.from_hyp(
+            self._head_stride_anchors(), model.nc, self.hyp
+        )
+
+        # --- optimizer: 3 groups, warmup in-graph, accumulate fixed ---
+        steps_per_epoch = max(len(train_loader), 1)
+        accumulate = max(round(NBS_NOMINAL / self.batch_size), 1)
+        self.tx = build_optimizer(
+            variables["params"],
+            self.hyp,
+            epochs=self.epochs,
+            steps_per_epoch=steps_per_epoch * accumulate,
+            batch_size=self.batch_size,
+            accumulate=accumulate,
+            optimizer=hyp.get("optimizer", "SGD"),
+            linear_lr=bool(tcfg.get("linear_lr", False)),
+        )
+        if int(tcfg.get("freeze", 0)) > 0:
+            self.tx = _freeze_layers(self.tx, int(tcfg["freeze"]))
+        self.accumulate = accumulate
+
+        # --- mesh + jitted step ---
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+        self.mesh = get_mesh(devices)
+        self.state: TrainState = jax.device_put(
+            create_train_state(variables, self.tx), replicate(self.mesh)
+        )
+        image_dtype = jnp.bfloat16 if tcfg.get("half", True) else jnp.float32
+        self._train_step = jax.jit(
+            make_train_step(model, self.compute_loss, self.tx, image_dtype=image_dtype),
+            in_shardings=(
+                replicate(self.mesh),
+                batch_sharding(self.mesh, 4),
+                replicate(self.mesh),
+                replicate(self.mesh),
+            ),
+            out_shardings=(replicate(self.mesh), replicate(self.mesh)),
+            # donating state buffers deadlocks XLA:CPU collectives (virtual
+            # multi-device test meshes); only donate on real accelerators
+            donate_argnums=(0,) if jax.default_backend() != "cpu" else (),
+        )
+
+        # epoch accumulators
+        self.mloss = np.zeros(4)
+        self.n_steps = 0
+        self._t_epoch = 0.0
+
+        # image weights machinery (yolo_trainer.py:435-467)
+        self.image_weights = bool(tcfg.get("image_weights", False))
+        dataset = train_loader.dataset
+        self.class_weights = labels_to_class_weights(dataset.labels, model.nc)
+
+    # ------------------------------------------------------------------
+    def _head_stride_anchors(self) -> np.ndarray:
+        from ayolov2_tpu.models.yolo_head import YOLOHead
+
+        head = YOLOHead(nc=self.model.nc, anchors=self.model.anchors, strides=self.model.strides)
+        return head.stride_anchors()
+
+    def resume(self, ckpt_path: str) -> None:
+        """Resume epoch/step/optimizer/EMA from a checkpoint."""
+        self.state, meta = restore_train_state(ckpt_path, self.state)
+        self.state = jax.device_put(self.state, replicate(self.mesh))
+        self.start_epoch = int(meta["epoch"]) + 1
+        self.best_score = float(meta["best_score"])
+        LOGGER.info("Resumed from %s at epoch %d (best %.4f)", ckpt_path, self.start_epoch, self.best_score)
+
+    # hooks -------------------------------------------------------------
+    def on_train_start(self) -> None:
+        if self.tcfg.get("auto_anchor", True):
+            anchors, changed = check_anchors(
+                self.train_loader.dataset,
+                np.asarray(self.model.anchors, np.float32).reshape(self.model.nl, -1, 2),
+                self.model.stride,
+                thr=float(self.hyp.get("anchor_t", 4.0)),
+                img_size=self.img_size,
+            )
+            if changed:
+                # anchors are compile-time constants: rebuild the model object
+                # (same params) and the loss with the new anchors
+                self.model = self.model.replace_anchors(anchors) if hasattr(self.model, "replace_anchors") else _with_anchors(self.model, anchors)
+                self.compute_loss = ComputeLoss.from_hyp(
+                    self._head_stride_anchors(), self.model.nc, self.hyp
+                )
+                image_dtype = jnp.bfloat16 if self.tcfg.get("half", True) else jnp.float32
+                self._train_step = jax.jit(
+                    make_train_step(self.model, self.compute_loss, self.tx, image_dtype=image_dtype),
+                    in_shardings=(
+                        replicate(self.mesh),
+                        batch_sharding(self.mesh, 4),
+                        replicate(self.mesh),
+                        replicate(self.mesh),
+                    ),
+                    out_shardings=(replicate(self.mesh), replicate(self.mesh)),
+                    donate_argnums=(0,) if jax.default_backend() != "cpu" else (),
+                )
+        LOGGER.info(
+            "Start training: %s params, %d epochs, batch %d (accumulate %d), img %d, %d devices",
+            f"{count_params(self.state.params):,}",
+            self.epochs, self.batch_size, self.accumulate, self.img_size, len(self.mesh.devices.flatten()),
+        )
+
+    def epoch_iterator(self):
+        return self.train_loader
+
+    def on_epoch_start(self, epoch: int) -> None:
+        self.mloss = np.zeros(4)
+        self.n_steps = 0
+        self._t_epoch = time.perf_counter()
+        if self.image_weights:
+            cw = self.class_weights * (1 - self.val_maps) ** 2  # yolo_trainer.py:446
+            iw = labels_to_image_weights(self.train_loader.dataset.labels, self.model.nc, cw)
+            self.train_loader.sample_weights = iw
+
+    def training_step(self, batch, batch_idx: int) -> Dict[str, float]:
+        images = batch.images
+        if self.multi_scale:
+            images = self._random_resize(images, batch_idx)
+        self.state, items = self._train_step(
+            self.state,
+            jnp.asarray(images),
+            jnp.asarray(batch.targets),
+            jnp.asarray(batch.target_mask),
+        )
+        self.n_steps += 1
+        if batch_idx % 50 == 0:
+            # sync only on logging steps — keeps the device pipeline async
+            items_np = np.asarray(items)
+            self.mloss = items_np
+            LOGGER.info(
+                "epoch %3d step %5d  box %.4f  obj %.4f  cls %.4f  total %.4f",
+                self.current_epoch, batch_idx, *items_np,
+            )
+            return {"loss": float(items_np[3])}
+        return {}
+
+    def _random_resize(self, images: np.ndarray, batch_idx: int) -> np.ndarray:
+        """Multi-scale: resize batch to a random stride multiple in
+        [0.5, 1.5] x img_size (yolo_trainer.py:223-248). Host-side cv2 resize
+        keeps the device graphs per-size."""
+        import cv2
+
+        rng = np.random.default_rng(self.current_epoch * 100003 + batch_idx)
+        sz = int(rng.integers(self.img_size // 2, self.img_size * 3 // 2) // self.gs * self.gs)
+        if sz == images.shape[1]:
+            return images
+        return np.stack([
+            cv2.resize(im, (sz, sz), interpolation=cv2.INTER_LINEAR) for im in images
+        ])
+
+    def on_epoch_end(self, epoch: int) -> None:
+        dt = time.perf_counter() - self._t_epoch
+        n = max(self.n_steps, 1)
+        LOGGER.info(
+            "epoch %3d done in %.1fs (%.1f img/s)", epoch, dt, n * self.batch_size / max(dt, 1e-9)
+        )
+
+    def validation(self) -> None:
+        if self.val_loader is None:
+            self._save_weights(self.current_epoch, "last.ckpt")
+            return
+        from ayolov2_tpu.eval import YoloValidator
+
+        variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        validator = YoloValidator(
+            self.model,
+            variables,
+            self.val_loader,
+            class_names=self.class_names,
+            cfg={"half": bool(self.tcfg.get("half", True)), "single_cls": bool(self.tcfg.get("single_cls", False))},
+            compute_loss=self.compute_loss,
+        )
+        result = validator.validation()
+        self.val_maps = result["maps"]
+        self.log_dict(
+            {
+                "mP": result["mp"], "mR": result["mr"],
+                "mAP50": result["map50"], "mAP50_95": result["map50_95"],
+            }
+        )
+        map50 = result["map50"]
+        if map50 >= self.best_score:
+            self.best_score = map50
+            self._save_weights(self.current_epoch, "best.ckpt", map50=map50)
+        self._save_weights(self.current_epoch, "last.ckpt", map50=map50)
+        if self.use_swa:
+            self._save_weights(self.current_epoch, f"epoch_{self.current_epoch}.ckpt", map50=map50)
+        save_period = int(self.tcfg.get("save_period", -1))
+        if save_period > 0 and self.current_epoch % save_period == 0:
+            self._save_weights(self.current_epoch, f"epoch_{self.current_epoch}.ckpt", map50=map50)
+        if self.stopper(epoch=self.current_epoch, score=map50):
+            self.is_early_stop = True
+
+    def _save_weights(self, epoch: int, name: str, map50: Optional[float] = None) -> None:
+        save_checkpoint(
+            self.wdir / name,
+            self.state,
+            epoch=epoch,
+            best_score=self.best_score,
+            map50=map50,
+            model_cfg=self.model_cfg_dict,
+        )
+
+    def on_train_end(self) -> None:
+        self._save_weights(self.current_epoch, "last.ckpt")
+        LOGGER.info("Training done. best mAP50 = %.4f; weights in %s", self.best_score, self.wdir)
+
+
+def _with_anchors(model, anchors: np.ndarray):
+    """Rebuild the (frozen dataclass) YOLOModel with new anchors."""
+    import dataclasses
+
+    a = tuple(tuple(float(v) for v in level.reshape(-1)) for level in np.asarray(anchors))
+    return dataclasses.replace(model, anchors=a)
+
+
+def _freeze_layers(tx, n_freeze: int):
+    """Zero the updates of the first n top-level layers (model_manager
+    freeze parity — reference sets requires_grad=False on model.0..n-1)."""
+    import optax
+
+    def frozen(path_key: str) -> bool:
+        if not path_key.startswith("model_"):
+            return False
+        try:
+            return int(path_key.split("_")[1]) < n_freeze
+        except ValueError:
+            return False
+
+    def init(params):
+        return tx.init(params)
+
+    def update(grads, state, params=None):
+        upd, st = tx.update(grads, state, params)
+        upd = {k: jax.tree_util.tree_map(jnp.zeros_like, v) if frozen(k) else v for k, v in upd.items()}
+        return upd, st
+
+    return optax.GradientTransformation(init, update)

@@ -1,0 +1,174 @@
+"""Train a model from the YAML config triple (model / data / train cfg).
+
+Parity target: /root/reference/train.py — argparse + 3 YAMLs, model build
+(YAML or checkpoint), loaders, trainer. TPU deltas: no DDP launcher — one
+process drives the whole device mesh (jax.distributed for multi-host);
+"half"/AMP is bf16 end-to-end; wandb is replaced by a local metrics JSON
+unless wandb is importable and --wandb is passed.
+
+Usage:
+    python cli/train.py --model res/configs/model/yolov5s.yaml \
+        --data res/configs/data/coco.yaml --cfg res/configs/cfg/train_config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
+
+_jax_setup()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ayolov2_tpu.data import DataLoader, DetectionDataset
+from ayolov2_tpu.models import build_model, init_model
+from ayolov2_tpu.models.builder import parse_model_config
+from ayolov2_tpu.train.trainer import YoloTrainer
+from ayolov2_tpu.utils.checkpoint import intersect_trees, load_variables
+from ayolov2_tpu.utils.config import load_yaml, make_run_dir, snapshot_configs
+from ayolov2_tpu.utils.general import check_img_size
+from ayolov2_tpu.utils.logger import get_logger
+
+LOGGER = get_logger("train")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train a model (reference train.py parity).")
+    parser.add_argument("--model", type=str, default="res/configs/model/yolov5s.yaml",
+                        help="model YAML or checkpoint (.ckpt)")
+    parser.add_argument("--data", type=str, default="res/configs/data/coco.yaml")
+    parser.add_argument("--cfg", type=str, default="res/configs/cfg/train_config.yaml")
+    parser.add_argument("--wlog", action="store_true", help="enable wandb logging if available")
+    parser.add_argument("--wlog-name", type=str, default="", help="wandb run name")
+    parser.add_argument("--log-dir", type=str, default="runs", help="log root directory")
+    parser.add_argument("--use-swa", action="store_true", help="save per-epoch ckpts for SWA")
+    parser.add_argument("--resume", type=str, default="", help="checkpoint to resume from")
+    parser.add_argument("--n-devices", type=int, default=0, help="limit device count (0 = all)")
+    return parser
+
+
+def main() -> None:
+    args = get_parser().parse_args()
+    cfg = load_yaml(args.cfg)
+    data_cfg = load_yaml(args.data)
+    tcfg = cfg["train"]
+
+    log_dir = make_run_dir(args.log_dir, "train")
+    snapshot_configs(log_dir, model=args.model, data=args.data, cfg=args.cfg)
+    LOGGER.info("Run dir: %s", log_dir)
+
+    nc = 1 if tcfg.get("single_cls") else int(data_cfg["nc"])
+    names = data_cfg.get("names") or [str(i) for i in range(nc)]
+
+    # --- model: YAML config or checkpoint (train.py:136-145) ---
+    init_weights = None
+    if args.model.endswith((".ckpt", ".pt")):
+        init_weights, meta = load_variables(args.model, prefer_ema=True)
+        model_cfg = json.loads(meta["model_cfg"]) if meta.get("model_cfg") else None
+        assert model_cfg, "checkpoint lacks an embedded model config; pass a YAML"
+    else:
+        model_cfg = parse_model_config(args.model)
+    model = build_model(model_cfg, dtype=jnp.bfloat16 if tcfg.get("half", True) else jnp.float32, nc=nc)
+
+    stride = int(max(model.stride))
+    img_size = check_img_size(int(tcfg["image_size"]), stride)
+
+    # --- datasets / loaders ---
+    label_type = tcfg.get("label_type", "labels")
+    common = dict(
+        img_size=img_size,
+        batch_size=int(tcfg["batch_size"]),
+        stride=stride,
+        n_skip=int(tcfg.get("n_skip", 0)),
+        label_type=label_type,
+        single_cls=bool(tcfg.get("single_cls", False)),
+        cache_images=tcfg.get("cache_image"),
+    )
+    train_dataset = DetectionDataset(
+        data_cfg["train_path"],
+        rect=bool(tcfg.get("rect", False)),
+        yolo_augmentation=cfg.get("yolo_augmentation"),
+        augmentation=cfg.get("augmentation"),
+        **common,
+    )
+    train_loader = DataLoader(
+        train_dataset,
+        batch_size=int(tcfg["batch_size"]),
+        shuffle=not tcfg.get("rect", False),
+        drop_last=True,
+        workers=int(tcfg.get("workers", 4)),
+        max_labels_per_image=int(tcfg.get("max_labels_per_image", 64)),
+    )
+    val_loader = None
+    if data_cfg.get("val_path"):
+        val_dataset = DetectionDataset(
+            data_cfg["val_path"], rect=True, pad=0.5, **common
+        )
+        val_loader = DataLoader(
+            val_dataset,
+            batch_size=int(tcfg["batch_size"]),
+            max_labels_per_image=int(tcfg.get("max_labels_per_image", 64)),
+        )
+
+    # --- init / transfer weights ---
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=img_size)
+    variables = {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
+    if init_weights is not None:
+        merged, n_match, n_total = intersect_trees(init_weights["params"], variables["params"])
+        variables["params"] = merged
+        if init_weights.get("batch_stats"):
+            bs_merged, _, _ = intersect_trees(init_weights["batch_stats"], variables["batch_stats"])
+            variables["batch_stats"] = bs_merged
+        LOGGER.info("Transferred %d/%d param tensors from %s", n_match, n_total, args.model)
+    elif tcfg.get("weights"):
+        w, _ = load_variables(tcfg["weights"], prefer_ema=True)
+        merged, n_match, n_total = intersect_trees(w["params"], variables["params"])
+        variables["params"] = merged
+        LOGGER.info("Transferred %d/%d param tensors from %s", n_match, n_total, tcfg["weights"])
+
+    trainer = YoloTrainer(
+        model,
+        variables,
+        cfg,
+        train_loader,
+        val_loader=val_loader,
+        log_dir=str(log_dir),
+        class_names=names,
+        use_swa=args.use_swa,
+        n_devices=args.n_devices or None,
+        model_cfg_dict=model_cfg if isinstance(model_cfg, dict) else parse_model_config(model_cfg),
+    )
+    if args.resume:
+        trainer.resume(args.resume)
+
+    wandb_run = None
+    if args.wlog:
+        try:
+            import wandb  # noqa: F401 — optional, not in the base image
+
+            wandb_run = wandb.init(project="ayolov2_tpu", name=args.wlog_name or None, config=cfg)
+        except ImportError:
+            LOGGER.warning("wandb not installed; falling back to local metric JSON")
+
+    trainer.train()
+
+    metrics_path = Path(log_dir) / "metrics.json"
+    metrics_path.write_text(json.dumps({k: v for k, v in trainer.state_dict.items() if not isinstance(v, np.ndarray)}, indent=2, default=float))
+    if wandb_run is not None:
+        wandb_run.log(trainer.state_dict)
+        wandb_run.finish()
+    LOGGER.info("Metrics written to %s", metrics_path)
+
+
+if __name__ == "__main__":
+    main()
