@@ -199,8 +199,10 @@ class COCOmAPEvaluator:
                     if not gts and not dts:
                         continue
                     g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
-                    g_area = np.array([g.get("area", b[2] * b[3]) for g, b in zip(gts, g_boxes)])
-                    g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
+                    g_area = np.array(
+                        [g.get("area", b[2] * b[3]) for g, b in zip(gts, g_boxes)], dtype=np.float64
+                    )
+                    g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], dtype=bool)
                     g_ignore = g_crowd | (g_area < area_rng[0]) | (g_area >= area_rng[1])
                     n_gt += int((~g_ignore).sum())
                     if not dts:
@@ -227,11 +229,14 @@ class COCOmAPEvaluator:
                             if best_g >= 0:
                                 dt_m[ti, di] = best_g
                                 gt_m[ti, best_g] = di
-                    d_ignore = np.where(
-                        dt_m >= 0,
-                        g_ignore[np.clip(dt_m, 0, None)],
-                        d_out_of_rng[None, :],
-                    )
+                    if len(gts):
+                        d_ignore = np.where(
+                            dt_m >= 0,
+                            g_ignore[np.clip(dt_m, 0, None)],
+                            d_out_of_rng[None, :],
+                        )
+                    else:
+                        d_ignore = np.broadcast_to(d_out_of_rng[None, :], dt_m.shape).copy()
                     scores_cls.append(d_scores)
                     match_cls.append(dt_m >= 0)
                     ignore_cls.append(d_ignore)

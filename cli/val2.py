@@ -1,0 +1,185 @@
+"""COCO-json inference + evaluation — the benchmark path.
+
+Parity target: /root/reference/val2.py:167-311 — image-only loader -> model
+(optionally TTA) -> batched NMS -> async JSON writer -> COCOmAPEvaluator
+(+ pycocotools COCOeval cross-check when importable).
+
+TPU deltas: forward + NMS are one fused jitted device program per batch
+shape; the async writer is a thread; if no GT json exists, one is built
+from the dataset's YOLO labels.
+
+Usage:
+    python cli/val2.py --weights best.ckpt --data-cfg res/configs/data/coco.yaml \
+        --gt-json instances_val2017.json --json-path answersheet.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
+
+_jax_setup()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ayolov2_tpu.data import DataLoader, DetectionDataset, ImageFolderDataset
+from ayolov2_tpu.models import build_model, fuse_params
+from ayolov2_tpu.ops.nms import batched_nms
+from ayolov2_tpu.ops.tta import inference_with_tta
+from ayolov2_tpu.utils.checkpoint import load_variables
+from ayolov2_tpu.utils.config import load_yaml
+from ayolov2_tpu.utils.general import TimeChecker, check_img_size
+from ayolov2_tpu.utils.logger import get_logger
+from ayolov2_tpu.utils.metrics import COCOmAPEvaluator
+from ayolov2_tpu.utils.result_writer import ResultWriter, yolo_labels_to_coco_json
+
+LOGGER = get_logger("val2")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="COCO-json inference + mAP (val2.py parity).")
+    parser.add_argument("--weights", type=str, default="")
+    parser.add_argument("--model-cfg", type=str, default="")
+    parser.add_argument("--data-cfg", type=str, default="res/configs/data/coco.yaml")
+    parser.add_argument("--gt-json", type=str, default="", help="COCO GT json (built from labels if empty)")
+    parser.add_argument("--json-path", type=str, default="answersheet.json")
+    parser.add_argument("-iw", "--img-width", type=int, default=640)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("-ct", "--conf-t", type=float, default=0.001)
+    parser.add_argument("-it", "--iou-t", type=float, default=0.65)
+    parser.add_argument("--nms-type", type=str, default="nms")
+    parser.add_argument("--top-k", type=int, default=512)
+    parser.add_argument("--keep-top-k", type=int, default=100)
+    parser.add_argument("--nms-box", type=int, default=1000)
+    parser.add_argument("--tta", action="store_true")
+    parser.add_argument("--no-half", action="store_true")
+    parser.add_argument("--no-rect", action="store_true")
+    parser.add_argument("--n-skip", type=int, default=0)
+    parser.add_argument("--check-map", type=float, default=-1.0,
+                        help="fail unless mAP50 >= this value")
+    return parser
+
+
+def main() -> dict:
+    args = get_parser().parse_args()
+    t = TimeChecker("val2")
+
+    data_cfg = load_yaml(args.data_cfg)
+    nc = int(data_cfg["nc"])
+    dtype = jnp.float32 if args.no_half else jnp.bfloat16
+
+    model_cfg = args.model_cfg
+    variables = None
+    if args.weights:
+        variables, meta = load_variables(args.weights, prefer_ema=True)
+        if not model_cfg and meta.get("model_cfg"):
+            model_cfg = json.loads(meta["model_cfg"])
+    assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"
+
+    model = build_model(model_cfg, dtype=dtype, fused=True, nc=nc)
+    if variables is None:
+        LOGGER.warning("no weights: random init")
+        unfused = build_model(model_cfg, dtype=dtype, nc=nc)
+        variables = unfused.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.uint8), training=False)
+    variables = fuse_params(variables)
+    t.add("model")
+
+    stride = int(max(model.stride))
+    img_size = check_img_size(args.img_width, stride)
+    dataset = ImageFolderDataset(
+        data_cfg["val_path"], img_size=img_size, batch_size=args.batch_size,
+        rect=not args.no_rect, pad=0.5, stride=stride, n_skip=args.n_skip,
+    )
+    loader = DataLoader(dataset, batch_size=args.batch_size, detection=False)
+    t.add("dataset")
+
+    @jax.jit
+    def serve(images):
+        imgs = images.astype(dtype) / jnp.asarray(255.0, dtype)
+        if args.tta:
+            pred = inference_with_tta(
+                lambda x: model.apply(variables, x, training=False)[0].astype(jnp.float32),
+                imgs, nl=model.nl, gs=stride,
+            )
+        else:
+            pred = model.apply(variables, imgs, training=False)[0].astype(jnp.float32)
+        return batched_nms(
+            pred,
+            conf_thres=args.conf_t,
+            iou_thres=args.iou_t,
+            nms_box=args.nms_box,
+            pre_top_k=args.top_k,
+            keep_top_k=args.keep_top_k,
+            multi_label=True,
+        )
+
+    writer = ResultWriter(args.json_path)
+    writer.start()
+    seen = 0
+    t.add("setup")
+    t_infer = 0.0
+    for images, metas, indices in loader:
+        bs, h, w = images.shape[:3]
+        t0 = time.perf_counter()
+        det, n_valid = serve(jnp.asarray(images))
+        det.block_until_ready()
+        t_infer += time.perf_counter() - t0
+        paths = [dataset.img_files[i] for i in indices]
+        writer.add_outputs(paths, np.asarray(det), np.asarray(n_valid), (h, w), metas)
+        seen += bs
+    results = writer.close()
+    t.add("inference")
+    LOGGER.info("%d images, %.1f ms/img inference+NMS, %d predictions",
+                seen, t_infer / max(seen, 1) * 1e3, len(results))
+
+    if args.gt_json:
+        gt = args.gt_json
+    else:
+        LOGGER.info("no GT json given: building one from YOLO labels")
+        label_ds = DetectionDataset(
+            data_cfg["val_path"], img_size=img_size, batch_size=args.batch_size,
+            stride=stride, n_skip=args.n_skip,
+            label_type="segments" if str(data_cfg.get("dataset", "")).lower() == "coco" else "labels",
+        )
+        gt = yolo_labels_to_coco_json(label_ds)
+
+    evaluator = COCOmAPEvaluator(gt, cat_from_yolo=False)
+    metrics = evaluator.evaluate(results, max_det=args.keep_top_k)
+    t.add("eval")
+    LOGGER.info("COCO eval: %s", {k: round(v, 4) for k, v in metrics.items()})
+    LOGGER.info("%s", t)
+
+    try:  # cross-check with pycocotools when available (val2.py:298-309)
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+
+        coco_gt = COCO(gt if isinstance(gt, str) else None)
+        if not isinstance(gt, str):
+            coco_gt.dataset = gt
+            coco_gt.createIndex()
+        coco_dt = coco_gt.loadRes(args.json_path)
+        ev = COCOeval(coco_gt, coco_dt, "bbox")
+        ev.evaluate(); ev.accumulate(); ev.summarize()
+    except ImportError:
+        pass
+
+    if args.check_map >= 0:
+        assert metrics["map50"] >= args.check_map, (
+            f"mAP50 {metrics['map50']:.4f} < required {args.check_map}"
+        )
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
