@@ -193,9 +193,17 @@ class YOLOModel(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False
     out_xyxy: bool = False
+    # Tucker-2 decomposition map: ((module_path, (rank_in, rank_out)), ...)
+    # — mapped ConvBnActs trace as 1x1 -> kxk -> 1x1 stacks (decomposition.py
+    # parity); installed for the trace via layers.decompose_scope.
+    decompose_map: Tuple[Tuple[str, Tuple[int, int]], ...] = ()
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False):
+        with L.decompose_scope(dict(self.decompose_map)):
+            return self._forward(x, training)
+
+    def _forward(self, x: jax.Array, training: bool = False):
         saved: Dict[int, jax.Array] = {}
         y: Any = x.astype(self.dtype)
         for spec in self.specs:
@@ -259,6 +267,7 @@ def build_model(
     fused: bool = False,
     out_xyxy: bool = False,
     nc: Optional[int] = None,
+    decompose_map: Any = (),
 ) -> YOLOModel:
     """Build a YOLOModel from a model YAML path or dict.
 
@@ -275,6 +284,8 @@ def build_model(
         strides = _infer_strides(specs, save, head_index, anchors, n_classes, cfg)
         LOGGER.info("Built detection model: strides=%s nc=%d", strides, n_classes)
 
+    if isinstance(decompose_map, dict):
+        decompose_map = tuple(sorted((k, (int(v[0]), int(v[1]))) for k, v in decompose_map.items()))
     return YOLOModel(
         specs=tuple(specs),
         save=tuple(save),
@@ -285,6 +296,7 @@ def build_model(
         dtype=dtype,
         fused=fused,
         out_xyxy=out_xyxy,
+        decompose_map=tuple(decompose_map),
     )
 
 
@@ -334,18 +346,19 @@ def fuse_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     def walk(p: Dict[str, Any], s: Dict[str, Any]) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
         keys = set(p.keys())
-        if "conv" in keys and "bn" in keys:
-            kernel = p["conv"]["kernel"]
+        conv_key = "conv" if "conv" in keys else ("conv_last" if "conv_last" in keys else None)
+        if conv_key is not None and "bn" in keys:
+            kernel = p[conv_key]["kernel"]
             gamma = p["bn"]["scale"]
             beta = p["bn"]["bias"]
             mean = s["bn"]["mean"]
             var = s["bn"]["var"]
             scale = gamma / jnp.sqrt(var + eps)
-            out["conv"] = {
+            out[conv_key] = {
                 "kernel": kernel * scale.reshape(1, 1, 1, -1),
                 "bias": beta - mean * scale,
             }
-            keys -= {"conv", "bn"}
+            keys -= {conv_key, "bn"}
         for k in keys:
             if isinstance(p[k], dict):
                 out[k] = walk(p[k], s.get(k, {}))

@@ -53,6 +53,36 @@ def autopad(k: int, p: Optional[int] = None) -> int:
     return k // 2 if p is None else p
 
 
+# --- tensor-decomposition support -------------------------------------------
+# A thread-local map {module path "a/b/c": (rank_in, rank_out)} consulted by
+# ConvBnAct: mapped convs trace as a Tucker-2 1x1 -> kxk -> 1x1 stack
+# (scripts/tensor_decomposition/decomposition.py:363-424 parity). YOLOModel
+# installs the map for the duration of its trace.
+import threading as _threading
+
+_DECOMP = _threading.local()
+
+
+class decompose_scope:
+    """Context manager installing the active decompose map during tracing."""
+
+    def __init__(self, mapping) -> None:
+        self.mapping = dict(mapping) if mapping else {}
+
+    def __enter__(self):
+        self.prev = getattr(_DECOMP, "map", {})
+        _DECOMP.map = self.mapping
+        return self
+
+    def __exit__(self, *exc):
+        _DECOMP.map = self.prev
+        return False
+
+
+def active_decompose_map() -> dict:
+    return getattr(_DECOMP, "map", {})
+
+
 class ConvBnAct(nn.Module):
     """Conv2d + BatchNorm + activation — the universal YOLOv5 'Conv' block.
 
@@ -60,6 +90,10 @@ class ConvBnAct(nn.Module):
     transformed offline by :func:`ayolov2_tpu.models.builder.fuse_params`)
     and this module runs conv+bias+act only — the TPU-native analogue of the
     reference's ``model.fuse()`` (used at val.py:331).
+
+    When this module's path is in the active decompose map, the conv traces
+    as three convs (1x1 rank_in, kxk rank_in->rank_out, 1x1 features) — the
+    Tucker-2 decomposed form.
     """
 
     features: int
@@ -74,17 +108,41 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         p = autopad(self.kernel_size, self.padding)
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)],
-            feature_group_count=self.groups,
-            use_bias=self.fuse,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        ranks = active_decompose_map().get("/".join(self.path))
+        if ranks is not None:
+            if self.groups != 1:
+                raise ValueError(f"cannot decompose grouped conv at {self.path}")
+            r_in, r_out = ranks
+            x = nn.Conv(
+                int(r_in), (1, 1), use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32, name="conv_first",
+            )(x)
+            x = nn.Conv(
+                int(r_out),
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(p, p), (p, p)],
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv_core",
+            )(x)
+            x = nn.Conv(
+                self.features, (1, 1), use_bias=self.fuse,
+                dtype=self.dtype, param_dtype=jnp.float32, name="conv_last",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(p, p), (p, p)],
+                feature_group_count=self.groups,
+                use_bias=self.fuse,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if not self.fuse:
             x = nn.BatchNorm(
                 use_running_average=not training,
