@@ -1,0 +1,158 @@
+"""Search validation/NMS parameters (img size, conf, IoU) for the best
+param/time/mAP tradeoff.
+
+Parity target: /root/reference/val_optimizer.py:145-243 +
+scripts/objective/objective_validator.py — an Optuna study (here the
+built-in TPE engine, ayolov2_tpu/search) maximizing
+
+    score = alpha * (base_params / params)
+          + beta  * (base_time / time)
+          + gamma * (map50 / base_map50)
+
+with a x0.1 punishment when mAP50 drops below the baseline floor
+(objective_validator.py:36,239-242). Baseline numbers come from the
+target model's own first run at default params unless --baseline-* given
+(the reference pulls a wandb yolov5x baseline; offline here).
+
+Usage:
+    python cli/val_optimizer.py --weights best.ckpt --data-cfg ... --n-trials 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
+
+_jax_setup()
+
+import jax
+import jax.numpy as jnp
+
+from ayolov2_tpu.data import DataLoader, DetectionDataset
+from ayolov2_tpu.eval import YoloValidator
+from ayolov2_tpu.models import build_model, count_params, fuse_params
+from ayolov2_tpu.search import create_study
+from ayolov2_tpu.utils.checkpoint import load_variables
+from ayolov2_tpu.utils.config import load_yaml
+from ayolov2_tpu.utils.general import check_img_size
+from ayolov2_tpu.utils.logger import get_logger
+
+LOGGER = get_logger("val_optimizer")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Optimize validation params (val_optimizer.py parity).")
+    parser.add_argument("--weights", type=str, required=True)
+    parser.add_argument("--model-cfg", type=str, default="")
+    parser.add_argument("--data-cfg", type=str, default="res/configs/data/coco.yaml")
+    parser.add_argument("--optim-cfg", type=str, default="res/configs/cfg/val_optimizer.yaml")
+    parser.add_argument("--n-trials", type=int, default=100)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--n-skip", type=int, default=0)
+    parser.add_argument("--alpha", type=float, default=0.5, help="param-count weight")
+    parser.add_argument("--beta", type=float, default=0.1, help="speed weight")
+    parser.add_argument("--gamma", type=float, default=4.0, help="mAP50 weight")
+    parser.add_argument("--base-map50", type=float, default=-1.0,
+                        help="punishment floor (default: baseline run's mAP50)")
+    parser.add_argument("--storage", type=str, default="val_optimizer_study.json")
+    parser.add_argument("--study-name", type=str, default="val_optimizer")
+    parser.add_argument("--load-if-exists", action="store_true")
+    return parser
+
+
+class ObjectiveValidator:
+    """Trial objective: validate at suggested (img_width, conf, iou)."""
+
+    PUNISHMENT = 0.1
+
+    def __init__(self, model_cfg, variables, data_cfg, space, args) -> None:
+        self.model_cfg = model_cfg
+        self.variables = variables
+        self.data_cfg = data_cfg
+        self.space = space
+        self.args = args
+        self.model_params = count_params(variables["params"])
+        # baseline run at default params defines the normalizers
+        t0 = time.monotonic()
+        base = self._validate(640, 0.001, 0.65)
+        self.baseline_t = time.monotonic() - t0
+        self.baseline_map50 = max(base["map50"], 1e-9)
+        self.baseline_params = self.model_params
+        self.base_map50_floor = (
+            args.base_map50 if args.base_map50 >= 0 else self.baseline_map50
+        )
+        LOGGER.info("baseline: mAP50 %.4f in %.1fs", self.baseline_map50, self.baseline_t)
+
+    def _validate(self, img_width: int, conf_t: float, iou_t: float) -> dict:
+        model = build_model(self.model_cfg, dtype=jnp.bfloat16, fused=True,
+                            nc=int(self.data_cfg["nc"]))
+        stride = int(max(model.stride))
+        w = check_img_size(img_width, stride)
+        dataset = DetectionDataset(
+            self.data_cfg["val_path"], img_size=w, batch_size=self.args.batch_size,
+            rect=True, pad=0.5, stride=stride, n_skip=self.args.n_skip,
+            label_type="segments" if str(self.data_cfg.get("dataset", "")).lower() == "coco" else "labels",
+        )
+        loader = DataLoader(dataset, batch_size=self.args.batch_size)
+        v = YoloValidator(
+            model, self.variables, loader,
+            cfg={"conf_t": conf_t, "iou_t": iou_t},
+        )
+        return v.validation()
+
+    def calc_objective_fn(self, t: float, map50: float) -> float:
+        param_score = self.args.alpha * (self.baseline_params / self.model_params)
+        time_score = self.args.beta * (self.baseline_t / max(t, 1e-9))
+        map50_score = self.args.gamma * (map50 / self.baseline_map50)
+        return param_score + time_score + map50_score
+
+    def __call__(self, trial) -> float:
+        iw = self.space["img_width"]
+        img_width = trial.suggest_int("img_width", iw["low"], iw["high"], step=iw.get("step", 32))
+        conf = trial.suggest_float("conf_thr", self.space["conf_thr"]["low"], self.space["conf_thr"]["high"])
+        iou = trial.suggest_float("iou_thr", self.space["iou_thr"]["low"], self.space["iou_thr"]["high"])
+
+        t0 = time.monotonic()
+        result = self._validate(img_width, conf, iou)
+        dt = time.monotonic() - t0
+        map50 = result["map50"]
+        trial.set_user_attr("map50", map50)
+        trial.set_user_attr("time_s", dt)
+
+        score = self.calc_objective_fn(dt, map50)
+        if map50 < self.base_map50_floor:
+            score *= self.PUNISHMENT  # objective_validator.py:239-242
+        return score
+
+
+def main() -> None:
+    args = get_parser().parse_args()
+    data_cfg = load_yaml(args.data_cfg)
+    space = load_yaml(args.optim_cfg)
+
+    variables, meta = load_variables(args.weights, prefer_ema=True)
+    variables = fuse_params(variables)
+    model_cfg = args.model_cfg or json.loads(meta["model_cfg"])
+
+    objective = ObjectiveValidator(model_cfg, variables, data_cfg, space, args)
+    study = create_study(
+        direction="maximize",
+        storage=args.storage,
+        study_name=args.study_name,
+        load_if_exists=args.load_if_exists,
+    )
+    study.optimize(objective, n_trials=args.n_trials)
+    LOGGER.info("best value %.5f with params %s", study.best_value, study.best_params)
+
+
+if __name__ == "__main__":
+    main()

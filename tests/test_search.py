@@ -1,0 +1,59 @@
+"""Search-engine tests: the TPE study must beat random on a known optimum
+and persist/resume its storage (val_optimizer semantics)."""
+
+import numpy as np
+
+from ayolov2_tpu.search import create_study
+
+
+def quadratic(trial):
+    x = trial.suggest_float("x", -10.0, 10.0)
+    y = trial.suggest_float("y", -10.0, 10.0)
+    return -(x - 3.0) ** 2 - (y + 2.0) ** 2
+
+
+def test_study_finds_optimum():
+    study = create_study(direction="maximize", sampler_seed=0)
+    study.optimize(quadratic, n_trials=80)
+    bx, by = study.best_params["x"], study.best_params["y"]
+    assert abs(bx - 3.0) < 2.0 and abs(by + 2.0) < 2.0, (bx, by)
+    assert study.best_value > -6.0
+
+
+def test_tpe_beats_pure_random():
+    tpe = create_study(direction="maximize", sampler_seed=1, n_startup_trials=10)
+    tpe.optimize(quadratic, n_trials=60)
+    rand = create_study(direction="maximize", sampler_seed=1, n_startup_trials=10_000)
+    rand.optimize(quadratic, n_trials=60)
+    assert tpe.best_value >= rand.best_value - 1.0  # TPE at least competitive
+
+
+def test_suggest_int_step_and_categorical():
+    study = create_study()
+    t = study.ask()
+    v = t.suggest_int("w", 512, 768, step=32)
+    assert 512 <= v <= 768 and (v - 512) % 32 == 0
+    c = t.suggest_categorical("nms", ["nms", "fast_nms"])
+    assert c in ("nms", "fast_nms")
+    study.tell(t, 1.0)
+
+
+def test_storage_roundtrip(tmp_path):
+    path = tmp_path / "study.json"
+    s1 = create_study(storage=path, study_name="s")
+    s1.optimize(quadratic, n_trials=5)
+    s2 = create_study(storage=path, study_name="s", load_if_exists=True)
+    assert len(s2.trials) == 5
+    s2.optimize(quadratic, n_trials=3)
+    assert len(s2.trials) == 8
+
+    # load_if_exists=False backs up and starts fresh (backup-on-conflict)
+    s3 = create_study(storage=path, study_name="s", load_if_exists=False)
+    assert len(s3.trials) == 0
+    assert list(tmp_path.glob("*.backup_*.json"))
+
+
+def test_minimize_direction():
+    study = create_study(direction="minimize", sampler_seed=0)
+    study.optimize(lambda t: (t.suggest_float("x", -5, 5) - 1.0) ** 2, n_trials=60)
+    assert study.best_value < 1.0
