@@ -282,6 +282,58 @@ def _image_compression(im, rng, quality_lower=75, quality_upper=100):
     return cv2.imdecode(enc, cv2.IMREAD_COLOR) if ok else im
 
 
+def _affine(img, labels, rng, scale=None, translate_percent=None, rotate=None, shear=None):
+    """Label-aware affine (albumentations.Affine-style ranges) via the
+    random_perspective machinery. ``labels`` are (n, 5) [cls, xywh-norm]."""
+    from ayolov2_tpu.utils.boxes import xywh2xyxy, xyxy2xywh
+
+    h, w = img.shape[:2]
+    lab = labels.copy()
+    if len(lab):
+        lab[:, 1:] = xywh2xyxy(lab[:, 1:], wh=(w, h))
+    degrees = max(abs(rotate[0]), abs(rotate[1])) if rotate else 0.0
+    shear_deg = max(abs(shear[0]), abs(shear[1])) if shear else 0.0
+    scale_amp = max(abs(1 - scale[0]), abs(scale[1] - 1)) if scale else 0.0
+    translate = 0.0
+    if translate_percent:
+        tx = translate_percent.get("x", [0, 0])
+        ty = translate_percent.get("y", [0, 0])
+        translate = max(abs(tx[0]), abs(tx[1]), abs(ty[0]), abs(ty[1]))
+    img, lab = random_perspective(
+        img, lab, rng, degrees=degrees, translate=translate,
+        scale=scale_amp, shear=shear_deg, perspective=0.0,
+    )
+    if len(lab):
+        lab[:, 1:] = xyxy2xywh(lab[:, 1:], wh=(w, h), clip_eps=1e-3)
+    return img, lab
+
+
+def _solarize(im, rng, threshold=128):
+    lut = np.arange(256, dtype=np.uint8)
+    lut[int(threshold):] = 255 - lut[int(threshold):]
+    return cv2.LUT(im, lut)
+
+
+def _sharpen(im, rng, alpha=(0.2, 0.5), lightness=(0.5, 1.0)):
+    a = rng.uniform(*alpha)
+    li = rng.uniform(*lightness)
+    kernel = np.array([[-1, -1, -1], [-1, 8 + li, -1], [-1, -1, -1]], np.float32)
+    sharp = cv2.filter2D(im, -1, kernel / max(kernel.sum(), 1e-6))
+    return cv2.addWeighted(im, 1 - a, sharp, a, 0)
+
+
+def _cutout_holes(im, rng, num_holes=1, max_h_size=128, max_w_size=128, fill_value=0):
+    h, w = im.shape[:2]
+    out = im.copy()
+    for _ in range(int(num_holes)):
+        ch = int(rng.integers(1, max_h_size + 1))
+        cw = int(rng.integers(1, max_w_size + 1))
+        y = int(rng.integers(0, max(h - ch, 1)))
+        x = int(rng.integers(0, max(w - cw, 1)))
+        out[y : y + ch, x : x + cw] = fill_value
+    return out
+
+
 _PIXEL_TRANSFORMS = {
     "Blur": _blur,
     "MedianBlur": _median_blur,
@@ -290,6 +342,9 @@ _PIXEL_TRANSFORMS = {
     "RandomBrightnessContrast": _brightness_contrast,
     "RandomGamma": _random_gamma,
     "ImageCompression": _image_compression,
+    "Solarize": _solarize,
+    "Sharpen": _sharpen,
+    "Cutout": _cutout_holes,
 }
 
 
@@ -309,7 +364,7 @@ class MultiAugmentationPolicies:
         self.policies = policies or []
         for pol in self.policies:
             for name in pol.get("policy", {}):
-                if name not in _PIXEL_TRANSFORMS and name not in ("HorizontalFlip", "VerticalFlip"):
+                if name not in _PIXEL_TRANSFORMS and name not in ("HorizontalFlip", "VerticalFlip", "Affine"):
                     raise ValueError(f"Unknown augmentation transform: {name}")
 
     def __call__(
@@ -332,6 +387,8 @@ class MultiAugmentationPolicies:
                     img = np.flipud(img).copy()
                     if len(labels):
                         labels[:, 2] = 1.0 - labels[:, 2]
+                elif name == "Affine":
+                    img, labels = _affine(img, labels, rng, **params)
                 else:
                     img = _PIXEL_TRANSFORMS[name](img, rng, **params)
         return img, labels
