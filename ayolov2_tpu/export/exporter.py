@@ -48,6 +48,8 @@ def make_serving_fn(
     nms_box: int = 1000,
     include_nms: bool = True,
     image_dtype=jnp.bfloat16,
+    fused_decode: bool = False,
+    img_hw: Optional[Tuple[int, int]] = None,
 ) -> Callable:
     """uint8 NHWC batch -> ((bs, keep_top_k, 6) detections, (bs,) counts).
 
@@ -55,7 +57,36 @@ def make_serving_fn(
     (model_converter.py:382-387) which convert_trt_out consumes
     (train_utils.py:262-283). With include_nms=False, returns the decoded
     (bs, N, 5+nc) predictions (the ONNX/TorchScript-style export).
+
+    ``fused_decode``: decode only the obj-prefiltered candidates in fp32
+    (ops/nms.fused_decode_nms) — ~25x less decode HBM traffic; requires
+    ``img_hw`` for the grid constants.
     """
+    if fused_decode and include_nms:
+        assert img_hw is not None, "fused_decode needs img_hw for grid constants"
+        from ayolov2_tpu.models.yolo_head import YOLOHead
+        from ayolov2_tpu.ops.nms import flat_grid_meta, flatten_raw_maps, fused_decode_nms
+
+        head = YOLOHead(nc=model.nc, anchors=model.anchors, strides=model.strides)
+        grid_xy, anchor_wh, stride = (
+            jnp.asarray(v) for v in flat_grid_meta(model.strides, head.anchor_grid(), img_hw)
+        )
+
+        def serve_fused(images: jax.Array):
+            imgs = images.astype(image_dtype) / jnp.asarray(255.0, image_dtype)
+            raw = model.apply(variables, imgs, training=True)
+            return fused_decode_nms(
+                flatten_raw_maps(raw),
+                grid_xy, anchor_wh, stride,
+                conf_thres=conf_thres,
+                iou_thres=iou_thres,
+                nms_box=nms_box,
+                pre_top_k=top_k,
+                keep_top_k=keep_top_k,
+                multi_label=False,
+            )
+
+        return serve_fused
 
     def serve(images: jax.Array):
         imgs = images.astype(image_dtype) / jnp.asarray(255.0, image_dtype)
@@ -108,7 +139,7 @@ def export_serving(
     serve = make_serving_fn(
         model, fused, conf_thres=conf_thres, iou_thres=iou_thres,
         top_k=top_k, keep_top_k=keep_top_k, include_nms=include_nms,
-        image_dtype=dtype,
+        image_dtype=dtype, fused_decode=include_nms, img_hw=img_size,
     )
     spec = jax.ShapeDtypeStruct((batch_size, img_size[0], img_size[1], 3), jnp.uint8)
     exported = jax_export.export(jax.jit(serve), platforms=platforms)(spec)

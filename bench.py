@@ -37,7 +37,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from ayolov2_tpu.models import build_model, fuse_params
-    from ayolov2_tpu.ops.nms import batched_nms
+    from ayolov2_tpu.models.yolo_head import YOLOHead
+    from ayolov2_tpu.ops.nms import flat_grid_meta, flatten_raw_maps, fused_decode_nms
 
     model = build_model("res/configs/model/yolov5s.yaml", dtype=jnp.bfloat16, fused=True)
     # fused-conv params: init unfused stats then fold (serving-path parity with
@@ -46,12 +47,20 @@ def main() -> None:
     variables = unfused.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.uint8), training=False)
     fused = fuse_params(variables)
 
+    head = YOLOHead(nc=model.nc, anchors=model.anchors, strides=model.strides)
+    grid_xy, anchor_wh, stride = (
+        jnp.asarray(v) for v in flat_grid_meta(model.strides, head.anchor_grid(), (SIZE, SIZE))
+    )
+
     @jax.jit
     def serve(images):
+        # fused serving path: bf16 backbone -> obj prefilter on raw logits ->
+        # fp32 decode of the surviving 1000 rows only -> fixed-shape NMS
         imgs = images.astype(jnp.bfloat16) / 255.0
-        decoded, _ = model.apply(fused, imgs, training=False)
-        det, n = batched_nms(
-            decoded.astype(jnp.float32),
+        raw = model.apply(fused, imgs, training=True)
+        det, n = fused_decode_nms(
+            flatten_raw_maps(raw),
+            grid_xy, anchor_wh, stride,
             conf_thres=0.001,
             iou_thres=0.65,
             nms_box=1000,

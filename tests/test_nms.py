@@ -144,3 +144,29 @@ def test_hybrid_label_injection():
     assert len(out[0]) == 1
     np.testing.assert_allclose(out[0][0, :4], [80, 80, 120, 120], atol=1e-3)
     assert out[0][0, 5] == 1
+
+
+def test_fused_decode_nms_matches_plain_path():
+    """fused_decode_nms == decode-all-then-batched_nms on the same raw maps."""
+    import jax
+    from ayolov2_tpu.models import build_model, init_model
+    from ayolov2_tpu.ops.nms import batched_nms, flat_grid_meta, flatten_raw_maps, fused_decode_nms
+    from ayolov2_tpu.models.yolo_head import YOLOHead
+
+    model = build_model("res/configs/model/yolov5s.yaml", dtype=jnp.float32, nc=20)
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3), np.uint8))
+    xf = x.astype(jnp.float32) / 255.0
+    decoded, raw = model.apply(variables, xf, training=False)
+
+    head = YOLOHead(nc=20, anchors=model.anchors, strides=model.strides)
+    grid_xy, anchor_wh, stride = flat_grid_meta(model.strides, head.anchor_grid(), (64, 64))
+    kw = dict(conf_thres=0.001, iou_thres=0.5, nms_box=200, pre_top_k=64,
+              keep_top_k=20, multi_label=False)
+    det_ref, n_ref = batched_nms(decoded.astype(jnp.float32), **kw)
+    det_fused, n_fused = fused_decode_nms(
+        flatten_raw_maps(raw), jnp.asarray(grid_xy), jnp.asarray(anchor_wh),
+        jnp.asarray(stride), **kw)
+
+    np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_fused))
+    np.testing.assert_allclose(np.asarray(det_fused), np.asarray(det_ref), atol=2e-3, rtol=1e-4)
