@@ -76,6 +76,7 @@ class YoloValidator:
         self.hybrid_label = bool(cfg.get("hybrid_label", False))
         self.image_dtype = jnp.bfloat16 if cfg.get("half", True) else jnp.float32
         self.verbose = bool(cfg.get("verbose", False))
+        self.plot_dir = cfg.get("plot_dir")  # PR/F1/P/R curve output dir
 
         self._forward = jax.jit(self._forward_impl)
         self._nms = None  # built lazily once prediction width is known
@@ -257,7 +258,10 @@ class YoloValidator:
             ]
             tcls = np.concatenate([np.asarray(x[3]) for x in stats]) if any(len(x[3]) for x in stats) else np.zeros(0)
             if len(arrs[0]):
-                p, r, ap, f1, ap_class = ap_per_class(arrs[0].astype(bool), arrs[1], arrs[2], tcls)
+                p, r, ap, f1, ap_class = ap_per_class(
+                    arrs[0].astype(bool), arrs[1], arrs[2], tcls,
+                    plot=self.plot_dir is not None, save_dir=self.plot_dir, names=self.names,
+                )
                 ap50, ap_mean = ap[:, 0], ap.mean(1)
                 mp, mr, map50, map5095 = p.mean(), r.mean(), ap50.mean(), ap_mean.mean()
                 nt = np.bincount(tcls.astype(np.int64), minlength=self.nc)

@@ -52,3 +52,14 @@ DEFAULT_NMS_BOX = 1000
 DEFAULT_MAX_NMS = 30000
 
 IMG_EXTS = (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".dng", ".webp")
+
+
+# Deterministic per-class plot palette (constants.py PLOT_COLOR parity) —
+# 20 visually distinct BGR colors, cycled by class index.
+PLOT_COLORS = [
+    (56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255),
+    (49, 210, 207), (10, 249, 72), (23, 204, 146), (134, 219, 61),
+    (52, 147, 26), (187, 212, 0), (168, 153, 44), (255, 194, 0),
+    (147, 69, 52), (255, 115, 100), (236, 24, 0), (255, 56, 132),
+    (133, 0, 82), (255, 56, 203), (200, 149, 255), (199, 55, 255),
+]

@@ -43,10 +43,14 @@ def ap_per_class(
     conf: np.ndarray,
     pred_cls: np.ndarray,
     target_cls: np.ndarray,
+    plot: bool = False,
+    save_dir: Optional[Union[str, Path]] = None,
+    names: Sequence[str] = (),
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per-class P/R/AP/F1 at the max-F1 operating point.
 
-    Returns (p, r, ap (nc, n_iou), f1, unique_classes).
+    Returns (p, r, ap (nc, n_iou), f1, unique_classes). With ``plot=True``
+    writes PR/F1/P/R curve PNGs to ``save_dir`` (plot_utils.py:302-386).
     """
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
@@ -55,6 +59,7 @@ def ap_per_class(
     nc = unique_classes.shape[0]
 
     px = np.linspace(0, 1, 1000)
+    py = []  # PR curves at IoU 0.5 per class
     ap = np.zeros((nc, tp.shape[1]))
     p = np.zeros((nc, 1000))
     r = np.zeros((nc, 1000))
@@ -63,6 +68,8 @@ def ap_per_class(
         n_l = (target_cls == c).sum()
         n_p = int(i.sum())
         if n_p == 0 or n_l == 0:
+            if plot:
+                py.append(np.zeros_like(px))
             continue
         fpc = (1 - tp[i]).cumsum(0)
         tpc = tp[i].cumsum(0)
@@ -71,9 +78,21 @@ def ap_per_class(
         r[ci] = np.interp(-px, -conf[i], recall[:, 0], left=0)
         p[ci] = np.interp(-px, -conf[i], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if plot and j == 0:
+                py.append(np.interp(px, mrec, mpre))
 
     f1 = 2 * p * r / (p + r + 1e-16)
+    if plot and save_dir is not None:
+        from ayolov2_tpu.utils.plots import plot_mc_curve, plot_pr_curve
+
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        cls_names = [names[int(c)] if int(c) < len(names) else str(int(c)) for c in unique_classes]
+        plot_pr_curve(px, np.stack(py, 1) if py else np.zeros((1000, 1)), ap, save_dir / "PR_curve.png", cls_names)
+        plot_mc_curve(px, f1, save_dir / "F1_curve.png", cls_names, ylabel="F1")
+        plot_mc_curve(px, p, save_dir / "P_curve.png", cls_names, ylabel="Precision")
+        plot_mc_curve(px, r, save_dir / "R_curve.png", cls_names, ylabel="Recall")
     i = f1.mean(0).argmax()
     return p[:, i], r[:, i], ap, f1[:, i], unique_classes.astype(np.int32)
 

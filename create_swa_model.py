@@ -1,0 +1,8 @@
+"""Root entry point — thin forwarder to cli/create_swa_model.py (the reference exposes
+create_swa_model.py at the repo root; the implementation lives in cli/create_swa_model.py)."""
+
+import runpy
+from pathlib import Path
+
+if __name__ == "__main__":
+    runpy.run_path(str(Path(__file__).resolve().parent / "cli" / "create_swa_model.py"), run_name="__main__")

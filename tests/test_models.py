@@ -191,3 +191,24 @@ def test_make_grid():
     g = make_grid(2, 3)
     assert g.shape == (2, 3, 1, 2)
     np.testing.assert_allclose(g[1, 2, 0], [2, 1])  # xy order
+
+
+def test_yolov5_v5_and_mobilevit_variants():
+    """Focus/SPP and MV2Block/MobileViTBlock module vocabulary coverage."""
+    import jax
+    from ayolov2_tpu.models import build_model, count_params, init_model
+
+    m = build_model("res/configs/model/yolov5_v5.yaml", dtype=jnp.float32)
+    v = init_model(m, jax.random.PRNGKey(0), img_size=64)
+    out, raw = m.apply(v, jnp.zeros((1, 64, 64, 3)), training=False)
+    assert out.shape[-1] == 85 and len(raw) == 3
+    # golden: the reference's yolov5s (v5-era) decomposition test counts
+    # 7,266,973 params for this architecture at nc=80 (within ~0.2%: the
+    # exact count depends on kindle's Focus conv arrangement)
+    n = count_params(v["params"])
+    assert abs(n - 7_266_973) / 7_266_973 < 0.005, n
+
+    mv = build_model("res/configs/model/yolov5_mobilevit.yaml", dtype=jnp.float32)
+    vv = init_model(mv, jax.random.PRNGKey(0), img_size=64)
+    out2, raw2 = mv.apply(vv, jnp.zeros((1, 64, 64, 3)), training=False)
+    assert out2.shape[-1] == 85 and len(raw2) == 3
