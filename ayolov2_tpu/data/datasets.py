@@ -232,13 +232,29 @@ class ImageFolderDataset:
             im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=interp)
         return im, (h0, w0), im.shape[:2]
 
+    def _npy_path(self, index: int) -> Path:
+        return Path(self.img_files[index]).with_suffix(".ayolo.npy")
+
     def load_image(self, index: int):
         if index in self._img_cache:
             im, orig, resized = self._img_cache[index]
             return im.copy(), orig, resized
+        if self.cache_images in ("disk", "dynamic_disk"):
+            npy = self._npy_path(index)
+            if npy.exists():
+                try:  # self-healing on stale/corrupt npy (data_loader.py:308-313)
+                    data = np.load(npy, allow_pickle=True).item()
+                    return data["im"], data["orig"], data["resized"]
+                except Exception:
+                    npy.unlink(missing_ok=True)
         item = self._load_image_nocache(index)
         if self.cache_images == "dynamic_mem":
             self._img_cache[index] = item
+        elif self.cache_images in ("disk", "dynamic_disk"):
+            try:
+                np.save(self._npy_path(index), {"im": item[0], "orig": item[1], "resized": item[2]})
+            except OSError:
+                pass
         return item
 
     def __len__(self) -> int:

@@ -55,6 +55,22 @@ def _focal_scale(logits: jax.Array, targets: jax.Array, gamma: float, alpha: flo
     return alpha_t * (1.0 - p_t) ** gamma
 
 
+def _qfocal_scale(logits: jax.Array, targets: jax.Array, gamma: float, alpha: float = 0.25) -> jax.Array:
+    """Quality-focal modulation (losses.py:118-165 QFocalLoss; arXiv:2006.04388):
+    |target - sigmoid(pred)|^gamma with the same alpha weighting."""
+    p = jax.nn.sigmoid(logits)
+    alpha_t = targets * alpha + (1 - targets) * (1 - alpha)
+    return alpha_t * jnp.abs(targets - p) ** gamma
+
+
+def _bce_blur_scale(logits: jax.Array, targets: jax.Array, blur_alpha: float = 0.05) -> jax.Array:
+    """BCEBlurWithLogitsLoss modulation (losses.py:30-61): down-weight
+    'missing label' cases where pred >> target."""
+    p = jax.nn.sigmoid(logits)
+    dx = p - targets
+    return 1.0 - jnp.exp((dx - 1.0) / (blur_alpha + 1e-4))
+
+
 def pad_targets(labels: Sequence[np.ndarray], batch_size: int, max_targets: int) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side: list of per-image (n_i, 5) [cls, xywh-normalized] label arrays
     -> fixed (M, 6) [img, cls, xywh] + (M,) valid mask, M = max_targets.
@@ -89,13 +105,15 @@ class ComputeLoss:
     nc: int
     hyp: Tuple[Tuple[str, float], ...]  # frozen dict of loss hyps
     autobalance: bool = False
+    focal_type: str = "focal"  # "focal" (default) | "qfocal" (losses.py:118) | "bce_blur"
 
     @staticmethod
     def from_hyp(anchors: np.ndarray, nc: int, hyp: Dict[str, Any]) -> "ComputeLoss":
         keys = ("box", "cls", "obj", "cls_pw", "obj_pw", "anchor_t", "fl_gamma", "label_smoothing")
         frozen = tuple((k, float(hyp.get(k, {"cls_pw": 1.0, "obj_pw": 1.0, "anchor_t": 4.0}.get(k, 0.0)))) for k in keys)
+        focal_type = str(hyp.get("focal_type", "focal"))
         a = tuple(tuple(tuple(float(v) for v in anc) for anc in level) for level in np.asarray(anchors))
-        return ComputeLoss(anchors=a, nc=nc, hyp=frozen)
+        return ComputeLoss(anchors=a, nc=nc, hyp=frozen, focal_type=focal_type)
 
     @property
     def nl(self) -> int:
@@ -112,6 +130,16 @@ class ComputeLoss:
 
     def _h(self, key: str) -> float:
         return dict(self.hyp)[key]
+
+    def _modulate(self, bce: jax.Array, logits: jax.Array, targets: jax.Array, gamma: float) -> jax.Array:
+        """Apply the configured focal/blur modulation (FocalLoss / QFocalLoss /
+        BCEBlurWithLogitsLoss parity, losses.py:30-165)."""
+        if self.focal_type == "bce_blur":
+            return bce * _bce_blur_scale(logits, targets)
+        if gamma <= 0:
+            return bce
+        scale = _qfocal_scale if self.focal_type == "qfocal" else _focal_scale
+        return bce * scale(logits, targets, gamma)
 
     def __call__(
         self,
@@ -209,8 +237,7 @@ class ComputeLoss:
             tobj = tobj.at[b_f, gj_f, gi_f, a_f].max(jnp.where(slot_f, score_iou, 0.0))
 
             obj_bce = _bce_with_logits(pred[..., 4], tobj, hyp["obj_pw"])
-            if gamma > 0:
-                obj_bce = obj_bce * _focal_scale(pred[..., 4], tobj, gamma)
+            obj_bce = self._modulate(obj_bce, pred[..., 4], tobj, gamma)
             lobj = lobj + obj_bce.mean() * self.balance[li]
 
             # --- classification (losses.py:276-280) -----------------------
@@ -218,8 +245,7 @@ class ComputeLoss:
                 t_cls = jnp.full((S, self.nc), cn, jnp.float32)
                 t_cls = t_cls.at[jnp.arange(S), tcls_f].set(cp)
                 cls_bce = _bce_with_logits(ps[:, 5:], t_cls, hyp["cls_pw"])
-                if gamma > 0:
-                    cls_bce = cls_bce * _focal_scale(ps[:, 5:], t_cls, gamma)
+                cls_bce = self._modulate(cls_bce, ps[:, 5:], t_cls, gamma)
                 cls_bce = jnp.where(slot_f[:, None], cls_bce, 0.0)
                 lcls = lcls + cls_bce.sum() / (n_slots * self.nc)
 
