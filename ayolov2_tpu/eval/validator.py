@@ -56,12 +56,19 @@ class YoloValidator:
         class_names: Optional[Sequence[str]] = None,
         cfg: Optional[Dict[str, Any]] = None,
         compute_loss: Optional[ComputeLoss] = None,
+        detection_fn: Optional[Callable] = None,
     ) -> None:
+        """``detection_fn``: an images -> (detections, counts) callable (e.g.
+        a loaded export artifact) used INSTEAD of forward+NMS — the analogue
+        of validating a TRT engine with fixed outputs (val.py:241-278 +
+        convert_trt_out, train_utils.py:262-283)."""
         cfg = dict(cfg or {})
         self.model = model
         self.variables = variables
         self.loader = loader
-        self.nc = 1 if cfg.get("single_cls") else model.nc
+        self.detection_fn = detection_fn
+        nc_src = model.nc if model is not None else int(cfg.get("nc", 80))
+        self.nc = 1 if cfg.get("single_cls") else nc_src
         self.names = list(class_names) if class_names else [str(i) for i in range(self.nc)]
         self.compute_loss = compute_loss
 
@@ -78,7 +85,7 @@ class YoloValidator:
         self.verbose = bool(cfg.get("verbose", False))
         self.plot_dir = cfg.get("plot_dir")  # PR/F1/P/R curve output dir
 
-        self._forward = jax.jit(self._forward_impl)
+        self._forward = jax.jit(self._forward_impl) if model is not None else None
         self._nms = None  # built lazily once prediction width is known
 
     # ---- device programs -------------------------------------------------
@@ -214,20 +221,28 @@ class YoloValidator:
             images.block_until_ready()
             t1 = time.perf_counter()
 
-            pred, raw = self._forward(images)
-            pred.block_until_ready()
-            t2 = time.perf_counter()
+            if self.detection_fn is not None:
+                # exported-engine path: fixed (bs, k, 6) + counts come straight
+                # from the artifact (convert_trt_out consumption semantics)
+                det, n_valid = self.detection_fn(images)
+                det = jnp.asarray(det)
+                det.block_until_ready()
+                t2 = t3 = time.perf_counter()
+            else:
+                pred, raw = self._forward(images)
+                pred.block_until_ready()
+                t2 = time.perf_counter()
 
-            if loss_fn is not None and raw is not None:
-                items = loss_fn(raw, jnp.asarray(batch.targets), jnp.asarray(batch.target_mask))
-                loss_sum += np.asarray(items)[:3]
+                if loss_fn is not None and raw is not None:
+                    items = loss_fn(raw, jnp.asarray(batch.targets), jnp.asarray(batch.target_mask))
+                    loss_sum += np.asarray(items)[:3]
 
-            if self.hybrid_label:
-                wh = jnp.asarray([w, h], jnp.float32)
-                pred = self._inject_labels(pred, jnp.asarray(batch.targets), jnp.asarray(batch.target_mask), wh)
-            det, n_valid = self._run_nms(pred)
-            det.block_until_ready()
-            t3 = time.perf_counter()
+                if self.hybrid_label:
+                    wh = jnp.asarray([w, h], jnp.float32)
+                    pred = self._inject_labels(pred, jnp.asarray(batch.targets), jnp.asarray(batch.target_mask), wh)
+                det, n_valid = self._run_nms(pred)
+                det.block_until_ready()
+                t3 = time.perf_counter()
 
             dt += (t1 - t0, t2 - t1, t3 - t2)
             seen += bs

@@ -64,7 +64,11 @@ def main() -> None:
     tcfg = cfg["train"]
 
     log_dir = make_run_dir(args.log_dir, "train")
-    snapshot_configs(log_dir, model=args.model, data=args.data, cfg=args.cfg)
+    snapshot_configs(
+        log_dir,
+        merged={"cfg": cfg, "data": data_cfg},
+        files={"model": args.model, "data": args.data, "cfg": args.cfg},
+    )
     LOGGER.info("Run dir: %s", log_dir)
 
     nc = 1 if tcfg.get("single_cls") else int(data_cfg["nc"])

@@ -97,6 +97,34 @@ def profile_model(model, variables, img_hw, batch_size: int, n_run: int, dtype) 
     return dt
 
 
+def validate_exported(args, data_cfg, nc: int, names) -> dict:
+    """Validate a .jaxexp serving artifact: fixed (bs, k, 6) + counts out —
+    the TRT-engine validation path (convert_trt_out semantics)."""
+    from ayolov2_tpu.export import load_exported
+
+    call = load_exported(args.weights)
+    sidecar = Path(args.weights).with_suffix(".yaml")
+    meta = yaml.safe_load(sidecar.read_text()) if sidecar.exists() else {}
+    bs, h, w = (meta.get("input", {}).get("shape") or [args.batch_size, args.img_height, args.img_width, 3])[:3]
+
+    dataset = DetectionDataset(
+        data_cfg["val_path"], img_size=max(h, w), batch_size=bs, rect=False,
+        stride=32, n_skip=args.n_skip,
+        label_type="segments" if str(data_cfg.get("dataset", "")).lower() == "coco" else "labels",
+        single_cls=args.single_cls,
+    )
+    loader = DataLoader(dataset, batch_size=bs, shuffle=False, pad_final_batch=True)
+    validator = YoloValidator(
+        None, {}, loader, class_names=names,
+        cfg={"nc": nc, "single_cls": args.single_cls, "verbose": args.verbose},
+        detection_fn=call,
+    )
+    result = validator.validation()
+    if args.json_path:
+        Path(args.json_path).write_text(json.dumps({k: v for k, v in result.items() if k != "maps"}))
+    return result
+
+
 def main() -> dict:
     args = get_parser().parse_args()
     if args.weights:
@@ -107,6 +135,10 @@ def main() -> dict:
     data_cfg = load_yaml(args.data_cfg)
     nc = 1 if args.single_cls else int(data_cfg["nc"])
     names = data_cfg.get("names") or [str(i) for i in range(nc)]
+
+    # --- exported-artifact path (reference .trt/.ts loading, val.py:241-278) ---
+    if args.weights.endswith(".jaxexp"):
+        return validate_exported(args, data_cfg, nc, names)
 
     # --- model + weights ---
     variables, meta = ({"params": {}, "batch_stats": {}}, {})

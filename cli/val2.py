@@ -68,6 +68,8 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n-skip", type=int, default=0)
     parser.add_argument("--check-map", type=float, default=-1.0,
                         help="fail unless mAP50 >= this value")
+    parser.add_argument("--trace-dir", type=str, default="",
+                        help="write a jax.profiler trace of the hot loop here")
     return parser
 
 
@@ -129,6 +131,10 @@ def main() -> dict:
     seen = 0
     t.add("setup")
     t_infer = 0.0
+    if args.trace_dir:
+        # device+host trace of the hot loop (TimeChecker's device-level
+        # counterpart; view with tensorboard/xprof)
+        jax.profiler.start_trace(args.trace_dir)
     for images, metas, indices in loader:
         bs, h, w = images.shape[:3]
         t0 = time.perf_counter()
@@ -138,6 +144,9 @@ def main() -> dict:
         paths = [dataset.img_files[i] for i in indices]
         writer.add_outputs(paths, np.asarray(det), np.asarray(n_valid), (h, w), metas)
         seen += bs
+    if args.trace_dir:
+        jax.profiler.stop_trace()
+        LOGGER.info("profiler trace written to %s", args.trace_dir)
     results = writer.close()
     t.add("inference")
     LOGGER.info("%d images, %.1f ms/img inference+NMS, %d predictions",

@@ -62,3 +62,32 @@ def test_export_raw_head(tmp_path):
     call = load_exported(paths["jaxexp"])
     out = call(np.zeros((1, 64, 64, 3), np.uint8))
     assert np.asarray(out).shape == (1, 252, 25)  # 64px grids: (64+16+4)*3 anchors
+
+
+def test_validator_with_exported_artifact(tmp_path):
+    """Validate through a loaded .jaxexp artifact (the TRT-val path analogue)."""
+    from pathlib import Path
+
+    import pytest
+
+    from ayolov2_tpu.eval import YoloValidator
+
+    VOC_VAL = "/root/reference/tests/res/datasets/VOC/images/val"
+    if not Path(VOC_VAL).exists():
+        pytest.skip("fixtures unavailable")
+
+    from ayolov2_tpu.data import DataLoader, DetectionDataset
+
+    variables = _vars()
+    paths = export_serving(
+        MODEL_CFG, variables, str(tmp_path / "m"), batch_size=4,
+        img_size=(64, 64), nc=20, keep_top_k=10, top_k=32, half=False,
+    )
+    call = load_exported(paths["jaxexp"])
+
+    ds = DetectionDataset(VOC_VAL, img_size=64, batch_size=4, rect=False, stride=32, n_skip=4)
+    loader = DataLoader(ds, batch_size=4, pad_final_batch=True)
+    v = YoloValidator(None, {}, loader, cfg={"nc": 20}, detection_fn=call)
+    result = v.validation()
+    assert 0.0 <= result["map50"] <= 1.0
+    assert result["seen"] > 0
