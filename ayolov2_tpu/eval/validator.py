@@ -90,16 +90,19 @@ class YoloValidator:
 
     # ---- device programs -------------------------------------------------
 
-    def _forward_impl(self, images: jax.Array):
+    def _forward_impl(self, variables, images: jax.Array):
+        # variables are a traced ARGUMENT (not a closure capture): a closure
+        # would bake the weights into the compiled program and silently
+        # ignore per-epoch EMA updates when the validator is reused
         imgs = images.astype(self.image_dtype) / jnp.asarray(255.0, self.image_dtype)
         if self.tta:
             def fwd(x):
-                decoded, _ = self.model.apply(self.variables, x, training=False)
+                decoded, _ = self.model.apply(variables, x, training=False)
                 return decoded.astype(jnp.float32)
 
             pred = inference_with_tta(fwd, imgs, nl=self.model.nl, gs=int(max(self.model.stride)))
             return pred, None
-        decoded, raw = self.model.apply(self.variables, imgs, training=False)
+        decoded, raw = self.model.apply(variables, imgs, training=False)
         return decoded.astype(jnp.float32), [r.astype(jnp.float32) for r in raw]
 
     @partial(jax.jit, static_argnums=(0,))
@@ -229,7 +232,7 @@ class YoloValidator:
                 det.block_until_ready()
                 t2 = t3 = time.perf_counter()
             else:
-                pred, raw = self._forward(images)
+                pred, raw = self._forward(self.variables, images)
                 pred.block_until_ready()
                 t2 = time.perf_counter()
 
@@ -272,6 +275,8 @@ class YoloValidator:
                 for i in range(3)
             ]
             tcls = np.concatenate([np.asarray(x[3]) for x in stats]) if any(len(x[3]) for x in stats) else np.zeros(0)
+            if len(tcls):
+                nt = np.bincount(tcls.astype(np.int64), minlength=self.nc)
             if len(arrs[0]):
                 p, r, ap, f1, ap_class = ap_per_class(
                     arrs[0].astype(bool), arrs[1], arrs[2], tcls,
@@ -279,7 +284,6 @@ class YoloValidator:
                 )
                 ap50, ap_mean = ap[:, 0], ap.mean(1)
                 mp, mr, map50, map5095 = p.mean(), r.mean(), ap50.mean(), ap_mean.mean()
-                nt = np.bincount(tcls.astype(np.int64), minlength=self.nc)
                 for i, c in enumerate(ap_class):
                     maps[c] = ap_mean[i]
                 if verbose and self.nc > 1:

@@ -62,10 +62,16 @@ def make_group_schedules(
     warmup_momentum: float = 0.8,
     momentum: float = 0.937,
     linear_lr: bool = False,
+    warmup_min_iters: int = 1000,
 ):
-    """Build (lr_fn(step, group), momentum_fn(step)) closures."""
+    """Build (lr_fn(step, group), momentum_fn(step)) closures.
+
+    ``warmup_min_iters``: the reference floors warmup at 1000 iterations
+    (yolo_trainer.py:207); lower it for tiny smoke datasets where 1000
+    steps would span the whole run.
+    """
     lf = lr_schedule(epochs, lrf, linear_lr)
-    nw = max(int(round(warmup_epochs * steps_per_epoch)), 1000)
+    nw = max(int(round(warmup_epochs * steps_per_epoch)), warmup_min_iters)
 
     def lr_fn(step: jnp.ndarray, group: str) -> jnp.ndarray:
         epoch = jnp.floor(step / steps_per_epoch)
@@ -178,6 +184,7 @@ def build_optimizer(
         warmup_momentum=float(hyp.get("warmup_momentum", 0.8)),
         momentum=momentum,
         linear_lr=linear_lr,
+        warmup_min_iters=int(hyp.get("warmup_min_iters", 1000)),
     )
 
     def make(group: str, wd: float):

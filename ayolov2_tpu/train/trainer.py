@@ -215,8 +215,9 @@ class YoloTrainer(AbstractTrainer):
             ),
             out_shardings=(replicate(self.mesh), replicate(self.mesh)),
             # donating state buffers deadlocks XLA:CPU collectives (virtual
-            # multi-device test meshes); only donate on real accelerators
-            donate_argnums=(0,) if jax.default_backend() != "cpu" else (),
+            # test meshes) and errors on tunneled TPU backends — opt in via
+            # train.donate_state on directly-attached hardware for HBM reuse
+            donate_argnums=(0,) if tcfg.get("donate_state", False) else (),
         )
 
         # epoch accumulators
@@ -271,7 +272,7 @@ class YoloTrainer(AbstractTrainer):
                         replicate(self.mesh),
                     ),
                     out_shardings=(replicate(self.mesh), replicate(self.mesh)),
-                    donate_argnums=(0,) if jax.default_backend() != "cpu" else (),
+                    donate_argnums=(0,) if self.tcfg.get("donate_state", False) else (),
                 )
         LOGGER.info(
             "Start training: %s params, %d epochs, batch %d (accumulate %d), img %d, %d devices",
@@ -341,15 +342,19 @@ class YoloTrainer(AbstractTrainer):
         from ayolov2_tpu.eval import YoloValidator
 
         variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
-        validator = YoloValidator(
-            self.model,
-            variables,
-            self.val_loader,
-            class_names=self.class_names,
-            cfg={"half": bool(self.tcfg.get("half", True)), "single_cls": bool(self.tcfg.get("single_cls", False))},
-            compute_loss=self.compute_loss,
-        )
-        result = validator.validation()
+        if getattr(self, "_validator", None) is None:
+            # one validator for the whole run — rebuilding per epoch would
+            # retrace/recompile the forward every validation
+            self._validator = YoloValidator(
+                self.model,
+                variables,
+                self.val_loader,
+                class_names=self.class_names,
+                cfg={"half": bool(self.tcfg.get("half", True)), "single_cls": bool(self.tcfg.get("single_cls", False))},
+                compute_loss=self.compute_loss,
+            )
+        self._validator.variables = variables
+        result = self._validator.validation()
         self.val_maps = result["maps"]
         self.log_dict(
             {
