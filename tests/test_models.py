@@ -212,3 +212,20 @@ def test_yolov5_v5_and_mobilevit_variants():
     vv = init_model(mv, jax.random.PRNGKey(0), img_size=64)
     out2, raw2 = mv.apply(vv, jnp.zeros((1, 64, 64, 3)), training=False)
     assert out2.shape[-1] == 85 and len(raw2) == 3
+
+
+def test_model_family_param_count_goldens():
+    """Exact param-count parity with the reference's published table
+    (README.md:206-211): yolov5s/m/l/x at nc=80."""
+    import jax
+    from ayolov2_tpu.models import build_model
+
+    goldens = {"yolov5s": 7_235_389, "yolov5m": 21_190_557,
+               "yolov5l": 46_563_709, "yolov5x": 86_749_405}
+    for name, want in goldens.items():
+        model = build_model(f"res/configs/model/{name}.yaml", dtype=jnp.float32)
+        shapes = jax.eval_shape(
+            lambda m=model: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+        )
+        n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(shapes["params"]))
+        assert n == want, (name, n, want)
