@@ -84,6 +84,11 @@ class YoloValidator:
         self.image_dtype = jnp.bfloat16 if cfg.get("half", True) else jnp.float32
         self.verbose = bool(cfg.get("verbose", False))
         self.plot_dir = cfg.get("plot_dir")  # PR/F1/P/R curve output dir
+        self.confusion = None
+        if cfg.get("confusion_matrix") or self.plot_dir:
+            from ayolov2_tpu.utils.metrics import ConfusionMatrix
+
+            self.confusion = ConfusionMatrix(self.nc)
 
         self._forward = jax.jit(self._forward_impl) if model is not None else None
         self._nms = None  # built lazily once prediction width is known
@@ -252,7 +257,7 @@ class YoloValidator:
             n_batches += 1
 
             dets = detections_to_list(np.asarray(det), np.asarray(n_valid))
-            self.statistics_per_image(dets, batch, (h, w), stats)
+            self.statistics_per_image(dets, batch, (h, w), stats, confusion=self.confusion)
 
         return self.compute_statistics(stats, loss_sum, dt, seen, n_batches, verbose)
 
@@ -293,6 +298,15 @@ class YoloValidator:
                             self.names[c], seen, int(nt[c]), p[i], r[i], ap50[i], ap_mean[i],
                         )
 
+        if self.confusion is not None and self.plot_dir:
+            from pathlib import Path
+
+            from ayolov2_tpu.utils.plots import plot_confusion_matrix
+
+            Path(self.plot_dir).mkdir(parents=True, exist_ok=True)
+            plot_confusion_matrix(
+                self.confusion.matrix, Path(self.plot_dir) / "confusion_matrix.png", self.names
+            )
         t = tuple(x / max(seen, 1) * 1e3 for x in dt)  # ms per image
         LOGGER.info(
             "%20s %11s %11s %11s %11s %11s %11s", "Class", "Images", "Labels", "P", "R", "mAP@.5", "mAP@.5:.95"

@@ -238,11 +238,25 @@ class YoloTrainer(AbstractTrainer):
         return head.stride_anchors()
 
     def resume(self, ckpt_path: str) -> None:
-        """Resume epoch/step/optimizer/EMA from a checkpoint."""
+        """Resume epoch/step/optimizer/EMA from a checkpoint.
+
+        The previous run's weight dir is copied into this run's log dir as an
+        epoch-stamped backup (model_manager.py:108-177 copytree semantics).
+        """
         self.state, meta = restore_train_state(ckpt_path, self.state)
         self.state = jax.device_put(self.state, replicate(self.mesh))
         self.start_epoch = int(meta["epoch"]) + 1
         self.best_score = float(meta["best_score"])
+        prev_dir = Path(ckpt_path).parent
+        if prev_dir.resolve() != self.wdir.resolve():
+            import shutil
+
+            backup = self.log_dir / f"backup_epoch_{self.start_epoch}"
+            try:
+                shutil.copytree(prev_dir, backup, dirs_exist_ok=True)
+                LOGGER.info("backed up previous run dir to %s", backup)
+            except OSError as e:
+                LOGGER.warning("resume backup failed: %s", e)
         LOGGER.info("Resumed from %s at epoch %d (best %.4f)", ckpt_path, self.start_epoch, self.best_score)
 
     # hooks -------------------------------------------------------------
