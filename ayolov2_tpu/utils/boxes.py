@@ -46,32 +46,37 @@ def xywh2xyxy(
 
 
 def xyxy2xywh(
-    x: Array, wh: Tuple[float, float] = (1.0, 1.0), clip_eps: Optional[float] = None, check_validity: bool = False
+    x: Array, wh: Tuple[float, float] = (1.0, 1.0), clip_eps: Optional[float] = None, check_validity: bool = True
 ) -> Array:
     """Convert (x1, y1, x2, y2) boxes to (cx, cy, w, h), normalized by ``wh``.
 
-    ``clip_eps`` clips normalized coords into [clip_eps, 1-clip_eps] first
-    (reference general.py:243-293 clips with eps and asserts validity).
+    Exact reference semantics (general.py:250-293):
+      - ``clip_eps``: accepted for API parity but has NO observable effect —
+        the reference clips into ``y`` and then overwrites every column from
+        the UNCLIPPED input (general.py:278-284), so the clip is dead code;
+        we reproduce the observable behavior bit-for-bit
+        (tests/test_reference_parity.py)
+      - ``check_validity`` (default True): shrink w/h symmetrically so the
+        box fits inside [0, 1] (center preserved), then clip to [1e-12, 1]
     """
+    del clip_eps  # see docstring: no observable effect in the reference
     xp = _xp(x)
-    # normalize first, then clip in normalized space (general.py clips the
-    # normalized coords with eps — clipping pixel coords would collapse boxes)
     x1 = x[..., 0] / wh[0]
     y1 = x[..., 1] / wh[1]
     x2 = x[..., 2] / wh[0]
     y2 = x[..., 3] / wh[1]
-    if clip_eps is not None:
-        x1 = xp.clip(x1, clip_eps, 1.0 - clip_eps)
-        y1 = xp.clip(y1, clip_eps, 1.0 - clip_eps)
-        x2 = xp.clip(x2, clip_eps, 1.0 - clip_eps)
-        y2 = xp.clip(y2, clip_eps, 1.0 - clip_eps)
     cx = (x1 + x2) / 2
     cy = (y1 + y2) / 2
     w = x2 - x1
     h = y2 - y1
+    if check_validity:
+        w = w + xp.minimum(cx - w / 2, 0.0) * 2
+        w = w - (xp.maximum(cx + w / 2, 1.0) - 1.0) * 2
+        h = h + xp.minimum(cy - h / 2, 0.0) * 2
+        h = h - (xp.maximum(cy + h / 2, 1.0) - 1.0) * 2
     out = xp.stack([cx, cy, w, h], axis=-1)
-    if check_validity and xp is np:
-        assert (out >= 0).all(), "Box coordinates must be non-negative"
+    if check_validity:
+        out = xp.clip(out, 1e-12, 1.0)
     return out
 
 
