@@ -60,7 +60,7 @@ def segment2box(segment: np.ndarray, width: int = 640, height: int = 640) -> np.
 def segments2boxes(segments: List[np.ndarray]) -> np.ndarray:
     """List of polygons -> (n, 4) xywh boxes."""
     boxes = [[s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max()] for s in segments]
-    return xyxy2xywh(np.array(boxes))
+    return xyxy2xywh(np.array(boxes), check_validity=False)  # general.py:128
 
 
 def resample_segments(segments: List[np.ndarray], n: int = 1000) -> List[np.ndarray]:
