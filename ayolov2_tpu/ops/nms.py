@@ -342,7 +342,8 @@ def non_max_suppression_np(
         conf_thres=conf_thres,
         iou_thres=iou_thres,
         nms_box=min(DEFAULT_MAX_NMS_CAP, pred.shape[1]),
-        pre_top_k=min(pre_top_k, pred.shape[1]),
+        # multi-label candidates are (box, class) pairs: cap at N*nc, not N
+        pre_top_k=min(pre_top_k, pred.shape[1] * (pred.shape[2] - 5) if multi_label else pred.shape[1]),
         keep_top_k=max_det,
         agnostic=agnostic,
         multi_label=multi_label,

@@ -235,3 +235,42 @@ def test_bbox_ioa_parity(ref_modules):
     ref = ref_metrics.bbox_ioa(b1, b2)
     got = bbox_ioa(b1, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_non_max_suppression_parity(ref_modules, multi_label):
+    """The val-path NMS (metrics.py:285-443) vs non_max_suppression_np —
+    exact keep-sets for the 'nms' type, with and without hybrid labels."""
+    import torch
+
+    ref_metrics, _, _ = ref_modules
+    from ayolov2_tpu.ops.nms import non_max_suppression_np
+
+    pred = _fake_decoded(bs=2, n=150, nc=4, seed=7)
+    conf, iou = 0.25, 0.5
+
+    labels = [
+        np.array([[1, 300.0, 300.0, 80.0, 60.0]], np.float32),
+        np.zeros((0, 5), np.float32),
+    ]
+
+    for use_labels in (False, True):
+        ref_labels = [torch.tensor(lb) for lb in labels] if use_labels else ()
+        ref_out = ref_metrics.non_max_suppression(
+            torch.tensor(pred.copy()), conf_thres=conf, iou_thres=iou,
+            multi_label=multi_label, labels=ref_labels, max_det=300, nms_type="nms",
+        )
+        got_out = non_max_suppression_np(
+            pred.copy(), conf_thres=conf, iou_thres=iou, multi_label=multi_label,
+            labels=labels if use_labels else (), max_det=300, nms_type="nms",
+            pre_top_k=150 * 4 + 4,
+        )
+        for i in range(2):
+            ref_i = ref_out[i].numpy()
+            got_i = got_out[i]
+            assert len(got_i) == len(ref_i), (multi_label, use_labels, i, len(got_i), len(ref_i))
+            ref_sorted = ref_i[np.argsort(-ref_i[:, 4])]
+            got_sorted = got_i[np.argsort(-got_i[:, 4])]
+            np.testing.assert_allclose(got_sorted[:, 4], ref_sorted[:, 4], rtol=1e-5)
+            np.testing.assert_allclose(got_sorted[:, :4], ref_sorted[:, :4], rtol=1e-4, atol=1e-2)
+            np.testing.assert_array_equal(got_sorted[:, 5], ref_sorted[:, 5])
