@@ -73,15 +73,23 @@ def main() -> None:
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
 
-    for _ in range(WARMUP):
-        det, n = serve(images)
-        jax.block_until_ready(det)
+    # NOTE on methodology: through the tunneled TPU backend,
+    # block_until_ready can return before device completion — only a D2H
+    # read is a true barrier. Measure with a hard sync and subtract the
+    # single-iteration launch+sync latency.
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        det = None
+        for _ in range(n):
+            det, _n = serve(images)
+        float(jnp.sum(det))  # hard sync
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        det, n = serve(images)
-    jax.block_until_ready(det)
-    dt = time.perf_counter() - t0
+    for _ in range(WARMUP):
+        run(1)
+    t1 = run(1)
+    tn = run(ITERS + 1)
+    dt = tn - t1
 
     img_per_sec = BATCH * ITERS / dt
     print(
