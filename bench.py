@@ -63,7 +63,9 @@ def main() -> None:
             grid_xy, anchor_wh, stride,
             conf_thres=0.001,
             iou_thres=0.65,
-            nms_box=1000,
+            # obj prefilter = the TRT plugin's topK=512 (model_converter.py:
+            # 330-340); the reference's own batched_nms defaults to 500
+            nms_box=512,
             pre_top_k=512,
             keep_top_k=100,
             multi_label=False,
