@@ -353,6 +353,12 @@ class YoloTrainer(AbstractTrainer):
         if self.val_loader is None:
             self._save_weights(self.current_epoch, "last.ckpt")
             return
+        # validate every N epochs (train.validate_period, train.py parity);
+        # the final epoch always validates
+        period = int(self.tcfg.get("validate_period", 1))
+        if period > 1 and (self.current_epoch + 1) % period and self.current_epoch != self.epochs - 1:
+            self._save_weights(self.current_epoch, "last.ckpt")
+            return
         from ayolov2_tpu.eval import YoloValidator
 
         variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
