@@ -274,3 +274,39 @@ def test_non_max_suppression_parity(ref_modules, multi_label):
             np.testing.assert_allclose(got_sorted[:, 4], ref_sorted[:, 4], rtol=1e-5)
             np.testing.assert_allclose(got_sorted[:, :4], ref_sorted[:, :4], rtol=1e-4, atol=1e-2)
             np.testing.assert_array_equal(got_sorted[:, 5], ref_sorted[:, 5])
+
+
+def test_tta_descale_clip_parity(ref_modules):
+    """descale_pred + clip_augmented vs the reference tta_utils (torch).
+
+    Flip-code mapping: reference 2=up-down, 3=left-right (torch dim codes);
+    ours 1=up-down, 2=left-right (NHWC axis codes).
+    """
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import scripts.utils.tta_utils as ref_tta
+
+    from ayolov2_tpu.ops.tta import clip_augmented, descale_pred
+
+    rng = np.random.default_rng(9)
+    pred = rng.uniform(0, 640, (2, 50, 25)).astype(np.float32)
+    for ref_flip, our_flip in ((None, None), (2, 1), (3, 2)):
+        ref_out = ref_tta.descale_pred(torch.tensor(pred.copy()), ref_flip, 0.83, (640, 640))
+        got_out = descale_pred(pred.copy(), our_flip, 0.83, (640, 640))
+        np.testing.assert_allclose(np.asarray(got_out), ref_out.numpy(), rtol=1e-6)
+
+    class _Head:
+        nl = 3
+
+    class _Model:
+        model = [None, _Head()]
+
+    n = 3 * (6400 + 1600 + 400)
+    ys_ref = [torch.zeros((1, n, 25)) for _ in range(3)]
+    ys_got = [np.zeros((1, n, 25), np.float32) for _ in range(3)]
+    ref_clipped = ref_tta.clip_augmented(_Model(), ys_ref)
+    got_clipped = clip_augmented(list(ys_got), nl=3, grid_points=None)
+    for r, g in zip(ref_clipped, got_clipped):
+        assert tuple(r.shape) == tuple(np.asarray(g).shape)
