@@ -276,6 +276,15 @@ class YoloTrainer(AbstractTrainer):
                 self.compute_loss = ComputeLoss.from_hyp(
                     self._head_stride_anchors(), self.model.nc, self.hyp
                 )
+                # the checkpoint's embedded model config must carry the NEW
+                # anchors, or val/export would rebuild the head with stale
+                # ones (the reference writes anchors back into the head that
+                # gets pickled; our config is the equivalent source of truth)
+                if isinstance(self.model_cfg_dict, dict):
+                    self.model_cfg_dict = dict(self.model_cfg_dict)
+                    self.model_cfg_dict["anchors"] = [
+                        [float(v) for v in level.reshape(-1)] for level in anchors
+                    ]
                 image_dtype = jnp.bfloat16 if self.tcfg.get("half", True) else jnp.float32
                 self._train_step = jax.jit(
                     make_train_step(self.model, self.compute_loss, self.tx, image_dtype=image_dtype),
@@ -288,6 +297,17 @@ class YoloTrainer(AbstractTrainer):
                     out_shardings=(replicate(self.mesh), replicate(self.mesh)),
                     donate_argnums=(0,) if self.tcfg.get("donate_state", False) else (),
                 )
+        if self.tcfg.get("plot", True):
+            # label histogram + first-batch mosaics (plot_utils.py:79-237)
+            from ayolov2_tpu.utils.plots import plot_label_histogram
+
+            try:
+                plot_label_histogram(
+                    self.train_loader.dataset.labels, self.model.nc,
+                    self.log_dir / "labels.png",
+                )
+            except Exception as e:  # plotting must never kill training
+                LOGGER.warning("label histogram failed: %s", e)
         LOGGER.info(
             "Start training: %s params, %d epochs, batch %d (accumulate %d), img %d, %d devices",
             f"{count_params(self.state.params):,}",
@@ -308,6 +328,16 @@ class YoloTrainer(AbstractTrainer):
 
     def training_step(self, batch, batch_idx: int) -> Dict[str, float]:
         images = batch.images
+        if self.current_epoch == 0 and batch_idx < 3 and self.tcfg.get("plot", True):
+            from ayolov2_tpu.utils.plots import plot_images
+
+            try:
+                plot_images(
+                    batch.images, batch.targets, batch.target_mask,
+                    self.log_dir / f"train_batch{batch_idx}.png", self.class_names,
+                )
+            except Exception as e:
+                LOGGER.warning("batch mosaic plot failed: %s", e)
         if self.multi_scale:
             images = self._random_resize(images, batch_idx)
         self.state, items = self._train_step(
@@ -380,6 +410,11 @@ class YoloTrainer(AbstractTrainer):
             {
                 "mP": result["mp"], "mR": result["mr"],
                 "mAP50": result["map50"], "mAP50_95": result["map50_95"],
+                # per-class mAP dict (yolo_trainer.py:605-626 W&B parity)
+                "mAP50_95_by_cls": {
+                    self.class_names[i]: float(v) for i, v in enumerate(result["maps"])
+                    if i < len(self.class_names)
+                },
             }
         )
         map50 = result["map50"]
