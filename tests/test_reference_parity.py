@@ -241,3 +241,33 @@ def test_compute_loss_parity_no_labels(ref_modules):
         jnp.zeros((8,), bool),
     )
     np.testing.assert_allclose(np.asarray(got_items)[:3], ref_items[:3], rtol=2e-4, atol=2e-6)
+
+
+def test_compute_loss_focal_parity(ref_modules):
+    """fl_gamma > 0: FocalLoss-wrapped BCE must also match exactly."""
+    _, _, ref_losses = ref_modules
+    import jax.numpy as jnp
+
+    from ayolov2_tpu.loss.yolo_loss import ComputeLoss
+
+    rng = np.random.default_rng(6)
+    bs, nc = 2, 20
+    preds = [rng.standard_normal((bs, s, s, 3, nc + 5)).astype(np.float32) for s in (8, 4, 2)]
+    rows = np.array([[0, 3, 0.3, 0.3, 0.2, 0.25], [1, 8, 0.7, 0.6, 0.3, 0.2]], np.float32)
+
+    global HYP
+    hyp_focal = dict(HYP, fl_gamma=1.5)
+    old = HYP
+    try:
+        HYP = hyp_focal
+        ref_total, ref_items = _ref_loss(ref_losses, preds, rows, nc)
+    finally:
+        HYP = old
+
+    targets = np.zeros((8, 6), np.float32)
+    mask = np.zeros(8, bool)
+    targets[: len(rows)] = rows
+    mask[: len(rows)] = True
+    ours = ComputeLoss.from_hyp(ANCHORS, nc, hyp_focal)
+    _, got_items = ours([jnp.asarray(p) for p in preds], jnp.asarray(targets), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got_items)[:3], ref_items[:3], rtol=2e-4, atol=2e-6)
