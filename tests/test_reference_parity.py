@@ -271,3 +271,29 @@ def test_compute_loss_focal_parity(ref_modules):
     ours = ComputeLoss.from_hyp(ANCHORS, nc, hyp_focal)
     _, got_items = ours([jnp.asarray(p) for p in preds], jnp.asarray(targets), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got_items)[:3], ref_items[:3], rtol=2e-4, atol=2e-6)
+
+
+def test_compute_loss_parity_boundary_ties(ref_modules):
+    """Targets landing EXACTLY on cell boundaries activate BOTH x-neighbors
+    (j and l are not mutually exclusive when gx % 1 == 0) — the reason the
+    loss keeps the full 5-offset slot table; a 3-slot 'center + one x + one
+    y' fold miscounts these (found and reverted in round 1)."""
+    _, _, ref_losses = ref_modules
+    import jax.numpy as jnp
+
+    from ayolov2_tpu.loss.yolo_loss import ComputeLoss
+
+    rng = np.random.default_rng(11)
+    bs, nc = 1, 20
+    preds = [rng.standard_normal((bs, s, s, 3, nc + 5)).astype(np.float32) for s in (16, 8, 4)]
+    # 0.25 * 16 = 4.0 and 0.5 * 16 = 8.0: exact integer grid coords at P3
+    rows = np.array([[0, 2, 0.25, 0.5, 0.2, 0.25]], np.float32)
+
+    ref_total, ref_items = _ref_loss(ref_losses, preds, rows, nc)
+    targets = np.zeros((4, 6), np.float32)
+    mask = np.zeros(4, bool)
+    targets[0] = rows[0]
+    mask[0] = True
+    ours = ComputeLoss.from_hyp(ANCHORS, nc, HYP)
+    _, got_items = ours([jnp.asarray(p) for p in preds], jnp.asarray(targets), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got_items)[:3], ref_items[:3], rtol=2e-4, atol=2e-6)
