@@ -132,3 +132,21 @@ def test_swa_averaging(tmp_path):
     got_leaf = jax.tree_util.tree_leaves(swa_vars["params"])[0]
     np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf) + 0.5, atol=1e-5)
     assert abs(meta["map50"] - 0.4) < 1e-6
+
+
+def test_multi_scale_resize():
+    """Multi-scale resize picks a stride multiple in [0.5, 1.5] x img_size."""
+    import types
+
+    from ayolov2_tpu.train.trainer import YoloTrainer
+
+    t = types.SimpleNamespace(img_size=320, gs=32, current_epoch=2)
+    rng_sizes = set()
+    imgs = np.zeros((2, 320, 320, 3), np.uint8)
+    for i in range(10):
+        out = YoloTrainer._random_resize(t, imgs, i)
+        assert out.shape[1] == out.shape[2]
+        assert out.shape[1] % 32 == 0
+        assert 160 <= out.shape[1] <= 480
+        rng_sizes.add(out.shape[1])
+    assert len(rng_sizes) > 1  # actually varies
