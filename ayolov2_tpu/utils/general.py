@@ -176,3 +176,19 @@ class TimeChecker:
             if dt / total >= self.ignore_thr
         ]
         return f"[{self.title}] total {total:.4f}s | " + ", ".join(parts)
+
+
+def init_seeds(seed: int = 0) -> "np.random.Generator":
+    """Seed every host-side RNG (torch_utils.py:122-144 init_seeds parity).
+
+    JAX randomness is explicit (PRNG keys derived from configs), so this
+    covers the numpy/python generators used by the data pipeline and
+    returns a fresh Generator for callers that want one. The reference's
+    cudnn-determinism toggles have no TPU analogue: XLA is deterministic
+    by construction for a fixed program.
+    """
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+    return np.random.default_rng(seed)

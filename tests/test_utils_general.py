@@ -70,3 +70,15 @@ def test_time_checker():
     t.add("phase2")
     assert t.total_time >= 0
     assert "phase1" in str(t)
+
+
+def test_init_seeds_deterministic():
+    import random
+
+    from ayolov2_tpu.utils.general import init_seeds
+
+    g1 = init_seeds(7)
+    a = (random.random(), np.random.rand(), g1.random())
+    g2 = init_seeds(7)
+    b = (random.random(), np.random.rand(), g2.random())
+    assert a == b
