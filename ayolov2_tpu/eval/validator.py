@@ -92,6 +92,47 @@ class YoloValidator:
 
         self._forward = jax.jit(self._forward_impl) if model is not None else None
         self._nms = None  # built lazily once prediction width is known
+        # fused decode+NMS serving path: usable when the loop needs no raw
+        # maps (no loss), no TTA, and no hybrid-label injection — decodes
+        # only the obj-prefiltered candidates (ops/nms.fused_decode_nms)
+        self.use_fused = (
+            bool(cfg.get("fused", True))
+            and model is not None
+            and getattr(model, "fused", False)  # BN folded: raw maps need no
+            # batch_stats mutation; unfused eval must use running averages
+            # via the training=False (decode-all) path
+            and compute_loss is None
+            and not self.tta
+            and not self.hybrid_label
+            and self.nms_type in ("nms", "batched_nms")
+        )
+        self._fused_cache: Dict[Tuple[int, int], Callable] = {}
+
+    def _fused_step(self, hw: Tuple[int, int]) -> Callable:
+        """One jitted forward+decode+NMS program per letterbox shape."""
+        if hw not in self._fused_cache:
+            from ayolov2_tpu.models.yolo_head import YOLOHead
+            from ayolov2_tpu.ops.nms import flat_grid_meta, flatten_raw_maps, fused_decode_nms
+
+            head = YOLOHead(nc=self.model.nc, anchors=self.model.anchors, strides=self.model.strides)
+            grid_xy, anchor_wh, stride = (
+                jnp.asarray(v) for v in flat_grid_meta(self.model.strides, head.anchor_grid(), hw)
+            )
+
+            @jax.jit
+            def step(variables, images):
+                imgs = images.astype(self.image_dtype) / jnp.asarray(255.0, self.image_dtype)
+                raw = self.model.apply(variables, imgs, training=True)
+                return fused_decode_nms(
+                    flatten_raw_maps(raw), grid_xy, anchor_wh, stride,
+                    conf_thres=self.conf_t, iou_thres=self.iou_t,
+                    nms_box=self.nms_box, pre_top_k=self.pre_top_k,
+                    keep_top_k=self.max_det, agnostic=self.single_cls,
+                    multi_label=self.nc > 1, nms_type="nms",
+                )
+
+            self._fused_cache[hw] = step
+        return self._fused_cache[hw]
 
     # ---- device programs -------------------------------------------------
 
@@ -234,6 +275,10 @@ class YoloValidator:
                 # from the artifact (convert_trt_out consumption semantics)
                 det, n_valid = self.detection_fn(images)
                 det = jnp.asarray(det)
+                det.block_until_ready()
+                t2 = t3 = time.perf_counter()
+            elif self.use_fused:
+                det, n_valid = self._fused_step((h, w))(self.variables, images)
                 det.block_until_ready()
                 t2 = t3 = time.perf_counter()
             else:

@@ -120,3 +120,24 @@ def test_checkpoint_roundtrip(tmp_path):
 
     merged, n_match, n_total = intersect_trees(vs["params"], variables["params"])
     assert n_match == n_total  # identical structure: everything transfers
+
+
+@needs_fixtures
+def test_validator_fused_matches_plain():
+    """The fused decode+NMS validator path (BN-folded models) gives the same
+    mAP as the plain decode-all path on identical weights/data."""
+    fmodel = build_model(MODEL_CFG, dtype=jnp.float32, nc=20, fused=True)
+    _, variables = _tiny_model_and_vars(img=64, nc=20)
+    fused_vars = fuse_params(variables)
+    dataset = DetectionDataset(VOC_VAL, img_size=64, batch_size=4, rect=False, stride=32, n_skip=4)
+
+    r_plain = YoloValidator(
+        fmodel, fused_vars, DataLoader(dataset, batch_size=4),
+        cfg={"half": False, "conf_t": 0.2, "fused": False},
+    ).validation()
+    r_fused = YoloValidator(
+        fmodel, fused_vars, DataLoader(dataset, batch_size=4),
+        cfg={"half": False, "conf_t": 0.2, "fused": True},
+    ).validation()
+    assert abs(r_plain["map50"] - r_fused["map50"]) < 1e-4
+    assert abs(r_plain["mr"] - r_fused["mr"]) < 1e-4
