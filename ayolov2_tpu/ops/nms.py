@@ -314,13 +314,15 @@ def non_max_suppression_np(
     max_det: int = 300,
     nms_type: str = "nms",
     pre_top_k: int = DEFAULT_TOP_K,
+    classes: Optional[List[int]] = None,
 ) -> List[np.ndarray]:
     """Reference-shaped API over the fixed-shape device NMS.
 
     Mirrors non_max_suppression (metrics.py:285-443) including hybrid-label
     injection: ``labels[i]`` rows (cls, x, y, w, h) are appended as perfect
-    detections before suppression (metrics.py:341-348). Returns per-image
-    (n, 6) numpy arrays for the validator.
+    detections before suppression (metrics.py:341-348) and the ``classes``
+    debug filter (metrics.py:366-368). Returns per-image (n, 6) numpy
+    arrays for the validator.
     """
     pred = np.asarray(prediction, dtype=np.float32)
     if labels and any(len(lb) for lb in labels):
@@ -349,4 +351,8 @@ def non_max_suppression_np(
         multi_label=multi_label,
         nms_type=nms_type,
     )
-    return detections_to_list(np.asarray(det), np.asarray(n_valid))
+    out = detections_to_list(np.asarray(det), np.asarray(n_valid))
+    if classes is not None:  # debug class filter (metrics.py:366-368)
+        cls_set = np.asarray(classes)
+        out = [d[np.isin(d[:, 5], cls_set)] for d in out]
+    return out

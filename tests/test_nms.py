@@ -170,3 +170,20 @@ def test_fused_decode_nms_matches_plain_path():
 
     np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_fused))
     np.testing.assert_allclose(np.asarray(det_fused), np.asarray(det_ref), atol=2e-3, rtol=1e-4)
+
+
+def test_nms_classes_filter():
+    """classes debug filter (metrics.py:366-368 parity)."""
+    from ayolov2_tpu.ops.nms import non_max_suppression_np
+
+    rng = np.random.default_rng(0)
+    pred = np.concatenate([
+        rng.uniform(100, 300, (1, 40, 2)),
+        rng.uniform(20, 60, (1, 40, 2)),
+        rng.uniform(0.5, 1, (1, 40, 1)),
+        rng.uniform(0, 1, (1, 40, 3)),
+    ], -1).astype(np.float32)
+    out_all = non_max_suppression_np(pred, conf_thres=0.2, iou_thres=0.5)
+    out_c0 = non_max_suppression_np(pred, conf_thres=0.2, iou_thres=0.5, classes=[0])
+    assert all((d[:, 5] == 0).all() for d in out_c0)
+    assert sum(len(d) for d in out_c0) <= sum(len(d) for d in out_all)
