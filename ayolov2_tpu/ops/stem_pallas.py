@@ -2,27 +2,32 @@
 
 Why: XLA lowers tiny-input-channel convs with K=cin on the MXU contraction
 axis — at cin=3 that is ~2% MXU utilization, making the 640px stem the most
-expensive op in the serving path (~5.6 ms of 18.5 ms per bs32 batch on v5e).
+expensive op in the serving path (5.3 ms true of 16.1 ms per bs32 batch on
+v5e). This kernel runs it in ~3.1 ms (+0.8 ms NCHW->NHWC transpose), a ~25%
+stem speedup.
 
-Approach: the host ships each image as overlapped *polyphase slabs* so every
-im2col patch column becomes a static VMEM slice:
+Approach — polyphase slabs + channel-major output:
+  * the host ships each image as overlapped polyphase slabs so every im2col
+    patch column is a static VMEM slice:
 
-    slab[b, j, a, r, t, l] = IMG[b, 2*(ROWS*j - 1 + t) + a, 6*(l - 1) + r]
+        slab[b, j, a, r, t, l] = IMG[b, 2*(R*j - 1 + t) + a, 6*(l-1) + r]
 
-(IMG rows flattened to 640*3 bytes; zeros outside the image = the conv's
-padding=2). Block j covers output rows [8j, 8j+8); kernel row p reads phase
-a = p%2 at slab row t = y' + p//2; patch column (p, r, delta) is
-slab[a, r, p//2 : p//2+ROWS, 1+delta : 321+delta]; the (p, delta, r) slot
-layout lets one store fill all 6 phases, so 18 static slices fill a
-(128, ROWS, 384) patch scratch, then ONE MXU matmul (K=128) + bias + SiLU
-produces the ROWS output rows. /255 input normalization is folded into the
-packed weights; uint8 -> bf16 happens in VMEM.
+    (IMG rows flattened to W*3 bytes; zeros outside = the conv's padding=2;
+    R = output rows per block, t in [0, R+2), l in [0, W/2+2)).
+  * per (image, row-block) grid step: 18 static slices fill a
+    (128, R, SEG) patch scratch (slot layout (p, delta, r) packs all 6
+    phases per store), then ONE K=128 MXU matmul with the weights as LHS
+    emits the block CHANNEL-MAJOR — (C, R, W/2) writes are lane-dense,
+    unlike NHWC blocks whose 32-lane minor dim forces 4x padded HBM writes.
+  * /255 is folded into the packed weights; uint8 -> bf16 in VMEM; bias +
+    SiLU fused; one cheap XLA transpose returns NHWC for the rest of the
+    network.
 
 Parity: equals jax.lax.conv_general_dilated(x/255, w, (2,2), pad=2) + bias
-+ SiLU to bf16 accumulation tolerance (tests/test_stem_pallas.py).
++ SiLU to bf16 tolerance (tests/test_stem_pallas.py, interpret mode).
 
-Host cost: to_polyphase_slabs is a pure uint8 rearrange (~1.7 MB/image),
-absorbed by the input-pipeline workers next to letterbox.
+Host cost: to_polyphase_slabs is a pure uint8 rearrange (~1.7 MB/image at
+640px), absorbed by the input-pipeline workers next to letterbox.
 """
 
 from __future__ import annotations
@@ -36,43 +41,39 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-H, W, CIN, K, STRIDE = 640, 640, 3, 6, 2
-OUT_H, OUT_W = H // STRIDE, W // STRIDE  # 320, 320
-ROWS = 16  # output rows per grid step
-NBLK = OUT_H // ROWS  # 40
-SLAB_T = ROWS + 2  # 10 input rows per phase per block (2-row halo)
-LANES = OUT_W + 2  # 322: one zero column each side for the +-1 lane shifts
+CIN, K, STRIDE, PAD = 3, 6, 2, 2
 KPAD = 128  # padded contraction dim (108 real slots)
-SEG = 384  # per-output-row lane segment (3 x 128)
+DEFAULT_ROWS = 16
 
 
-def to_polyphase_slabs(images: np.ndarray) -> np.ndarray:
-    """(B, 640, 640, 3) uint8 -> (B, NBLK, 2, 6, SLAB_T, 322) uint8 slabs."""
-    b = images.shape[0]
-    flat = images.reshape(b, H, W * CIN)  # rows of 1920 bytes
-    # zero-padded canvas: rows [-2, ...), flat cols with one x-pad each side
-    canvas = np.zeros((b, H + 6, LANES * 6), np.uint8)
-    canvas[:, 2 : 2 + H, 6 : 6 + W * CIN] = flat
-    out = np.empty((b, NBLK, 2, 6, SLAB_T, LANES), np.uint8)
-    for j in range(NBLK):
-        # block j covers output rows [ROWS*j, ROWS*(j+1)); needs input rows
-        # g = 2m + a for m in [ROWS*j - 1, ROWS*j + SLAB_T - 1)
-        start = 2 + 2 * ROWS * j - 2
+def to_polyphase_slabs(images: np.ndarray, rows: int = DEFAULT_ROWS) -> np.ndarray:
+    """(B, S, S, 3) uint8 -> (B, NBLK, 2, 6, rows+2, S/2+2) uint8 slabs."""
+    b, h, w, _ = images.shape
+    assert h == w, "square inputs only"
+    out_w = h // STRIDE
+    assert out_w % rows == 0, (h, rows)
+    nblk, slab_t, lanes = out_w // rows, rows + 2, out_w + 2
+    flat = images.reshape(b, h, w * CIN)
+    canvas = np.zeros((b, h + 6, lanes * 6), np.uint8)
+    canvas[:, 2 : 2 + h, 6 : 6 + w * CIN] = flat
+    out = np.empty((b, nblk, 2, 6, slab_t, lanes), np.uint8)
+    for j in range(nblk):
+        start = 2 + 2 * rows * j - 2
         for a in range(2):
-            rows = canvas[:, start + a : start + a + 2 * SLAB_T : 2]
-            # (b, T, 1932) -> (b, T, 322, 6) -> (b, 6, T, 322)
-            out[:, j, a] = rows.reshape(b, SLAB_T, LANES, 6).transpose(0, 3, 1, 2)
+            r = canvas[:, start + a : start + a + 2 * slab_t : 2]
+            out[:, j, a] = r.reshape(b, slab_t, lanes, 6).transpose(0, 3, 1, 2)
     return out
 
 
 def pack_stem_weights(
     kernel: np.ndarray, bias: Optional[np.ndarray] = None, fold_255: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """HWIO (6, 6, 3, C) conv kernel -> ((128, C) packed weights, (1, C) bias).
+    """HWIO (6, 6, 3, C) conv kernel -> ((128, C) packed weights, (C, 1) bias).
 
-    Slot layout: slot(p, q, c) = p*18 + r*3 + (delta+1) with t = 3q + c,
-    r = t % 6, delta = t // 6 - 1 (see module docstring). ``fold_255``
-    multiplies weights by 1/255 so the kernel consumes raw uint8 values.
+    Slot layout: slot(p, q, c) = p*18 + (t//6)*6 + (t%6) with t = 3q + c —
+    the (p, delta, r) order that lets one store fill all 6 phases. The
+    ``fold_255`` flag multiplies weights by 1/255 so the kernel consumes
+    raw uint8 values.
     """
     kh, kw, cin, cout = kernel.shape
     assert (kh, kw, cin) == (K, K, CIN), kernel.shape
@@ -82,44 +83,42 @@ def pack_stem_weights(
         for q in range(K):
             for c in range(CIN):
                 t = 3 * q + c
-                slot = p * 18 + (t // 6) * 6 + (t % 6)  # (p, delta, r) layout
+                slot = p * 18 + (t // 6) * 6 + (t % 6)
                 w[slot] = np.asarray(kernel[p, q, c], np.float32) * scale
     b = np.zeros((cout,), np.float32) if bias is None else np.asarray(bias, np.float32)
-    return w.astype(np.float32), b.reshape(1, -1)
+    return w.astype(np.float32), b.reshape(-1, 1)
 
 
-def _stem_kernel(slab_ref, w_ref, b_ref, out_ref, patch_ref, *, cout: int, act: bool):
-    """One (image, row-block) step. slab_ref (1, 1, 2, 6, SLAB_T, 322) u8;
-    w_ref (128, cout) f32; b_ref (1, cout) f32; out (1, ROWS, 320, cout);
-    patch scratch (128, ROWS, 384) bf16."""
-    # zero the padded contraction slots once: w[108:] is zero, but 0 * NaN
-    # from uninitialized scratch would poison the accumulation
-    patch_ref[108:KPAD, :, :] = jnp.zeros((KPAD - 108, ROWS, SEG), jnp.bfloat16)
+def _stem_kernel(slab_ref, w_ref, b_ref, out_ref, patch_ref, *, rows, out_w, seg, act):
+    """One (image, row-block) step -> channel-major (C, rows, out_w) block."""
+    # zero the padded contraction slots: w[108:] is zero, but 0 * NaN from
+    # uninitialized scratch would poison the accumulation
+    patch_ref[108:KPAD, :, :] = jnp.zeros((KPAD - 108, rows, seg), jnp.bfloat16)
     # one cast for the whole slab (Mosaic has no direct u8->bf16; via i32)
-    slab = slab_ref[0, 0].astype(jnp.int32).astype(jnp.bfloat16)  # (2, 6, T, 322)
+    slab = slab_ref[0, 0].astype(jnp.int32).astype(jnp.bfloat16)  # (2, 6, T, L)
     for p in range(K):
         a, toff = p % 2, p // 2
         for delta in (-1, 0, 1):
-            # slot layout (p, delta, r): all 6 phases land in ONE store
             s0 = p * 18 + (delta + 1) * 6
-            patch_ref[s0 : s0 + 6, :, 0:OUT_W] = slab[
-                a, :, toff : toff + ROWS, 1 + delta : 1 + delta + OUT_W
+            patch_ref[s0 : s0 + 6, :, 0:out_w] = slab[
+                a, :, toff : toff + rows, 1 + delta : 1 + delta + out_w
             ]
-
-    lhs = patch_ref[:, :, :].reshape(KPAD, ROWS * SEG)
+    lhs = patch_ref[:, :, :].reshape(KPAD, rows * seg)
     acc = jax.lax.dot_general(
-        lhs, w_ref[:, :],
+        w_ref[:, :], lhs,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (ROWS*SEG, cout)
-    acc = acc + b_ref[0, :][None, :]
+    )  # (cout, rows*seg) — channel-major
+    acc = acc + b_ref[:, 0][:, None]
     if act:
         acc = acc * jax.nn.sigmoid(acc)
-    acc = acc.reshape(ROWS, SEG, cout)
-    out_ref[0, :, :, :] = acc[:, 0:OUT_W, :].astype(out_ref.dtype)
+    cout = acc.shape[0]
+    out_ref[0] = acc.reshape(cout, rows, seg)[:, :, 0:out_w].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cout", "act", "out_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cout", "act", "out_dtype", "interpret", "nhwc")
+)
 def stem_conv_slabs(
     slabs: jax.Array,
     w_packed: jax.Array,
@@ -128,25 +127,31 @@ def stem_conv_slabs(
     act: bool = True,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    nhwc: bool = True,
 ) -> jax.Array:
-    """(B, NBLK, 2, 6, SLAB_T, 322) uint8 slabs -> (B, 320, 320, cout)."""
-    b = slabs.shape[0]
-    return pl.pallas_call(
-        functools.partial(_stem_kernel, cout=cout, act=act),
-        out_shape=jax.ShapeDtypeStruct((b, OUT_H, OUT_W, cout), out_dtype),
-        grid=(b, NBLK),
+    """slabs -> stem output; (B, out, out, C) NHWC (default) or (B, C, out, out)."""
+    b, nblk, _, _, slab_t, lanes = slabs.shape
+    out_w = lanes - 2
+    rows = slab_t - 2
+    assert rows * nblk == out_w, slabs.shape
+    seg = -(-out_w // 128) * 128
+    o = pl.pallas_call(
+        functools.partial(_stem_kernel, rows=rows, out_w=out_w, seg=seg, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, cout, out_w, out_w), out_dtype),
+        grid=(b, nblk),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 2, 6, SLAB_T, LANES),
+                (1, 1, 2, 6, slab_t, lanes),
                 lambda i, j: (i, j, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((KPAD, cout), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, ROWS, OUT_W, cout), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, cout, rows, out_w), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((KPAD, ROWS, SEG), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((KPAD, rows, seg), jnp.bfloat16)],
         interpret=interpret,
     )(slabs, w_packed, bias)
+    return jnp.transpose(o, (0, 2, 3, 1)) if nhwc else o
