@@ -23,7 +23,7 @@ and 3 (out).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 from scipy.optimize import minimize_scalar

@@ -12,7 +12,7 @@ RL/InfoNCE losses' even/odd / tile(arange(bs)) layouts hold.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import cv2
 import numpy as np

@@ -21,7 +21,6 @@ like the TRT engine with its NMS plugin.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Tuple
 

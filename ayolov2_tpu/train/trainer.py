@@ -26,7 +26,6 @@ TPU-first deltas:
 
 from __future__ import annotations
 
-import json
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional

@@ -18,11 +18,11 @@ from __future__ import annotations
 import json
 from collections import defaultdict
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from ayolov2_tpu.utils.boxes import box_iou, xywh2xyxy
+from ayolov2_tpu.utils.boxes import box_iou
 from ayolov2_tpu.utils.constants import COCO_CATEGORY_IDS
 
 IOUV = np.linspace(0.5, 0.95, 10)

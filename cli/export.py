@@ -32,7 +32,7 @@ import numpy as np
 
 from ayolov2_tpu.export import export_serving, load_exported
 from ayolov2_tpu.models.builder import parse_model_config
-from ayolov2_tpu.utils.checkpoint import intersect_trees, load_variables
+from ayolov2_tpu.utils.checkpoint import load_variables
 from ayolov2_tpu.utils.logger import get_logger
 
 LOGGER = get_logger("export")
