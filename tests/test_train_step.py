@@ -154,3 +154,22 @@ def test_optimizer_group_labels(tiny_setup):
         names = [getattr(p, "key", "") for p in path]
         if "bn" in names:
             assert lab == "bn_scale"
+
+
+def test_ema_decay_curve():
+    """EMA rate d(x) = decay * (1 - e^{-x/2000}) (torch_utils.py:377-426)."""
+    from ayolov2_tpu.train.train_state import EMA
+
+    ema = EMA(decay=0.9999, tau=2000.0)
+    for updates, want in [(1, 0.9999 * (1 - np.exp(-1 / 2000))),
+                          (2000, 0.9999 * (1 - np.exp(-1.0))),
+                          (100000, 0.9999 * (1 - np.exp(-50.0)))]:
+        got = float(ema.rate(jnp.asarray(updates, jnp.int32)))
+        assert abs(got - want) < 1e-6, (updates, got, want)
+
+    # one update moves the shadow toward the new value by (1 - d)
+    shadow = {"w": jnp.ones((4,), jnp.float32)}
+    new = {"w": jnp.zeros((4,), jnp.float32)}
+    out = ema.update(shadow, new, jnp.asarray(1, jnp.int32))
+    d = float(ema.rate(jnp.asarray(1, jnp.int32)))
+    np.testing.assert_allclose(np.asarray(out["w"]), d, rtol=1e-6)
