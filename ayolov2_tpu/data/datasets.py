@@ -332,12 +332,21 @@ class DetectionDataset(ImageFolderDataset):
         self.label_type = label_type
         self.single_cls = single_cls
         self.policies = MultiAugmentationPolicies(augmentation) if augmentation else None
+        self.seed = seed
+        self.epoch = 0  # published by DataLoader each epoch
         self.rng = np.random.default_rng(seed)
 
         self.labels, self.segments = self._load_labels()
         if single_cls:
             for lab in self.labels:
                 lab[:, 0] = 0
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        """Per-(seed, epoch, item) RNG: deterministic regardless of how many
+        loader workers run __getitem__ concurrently (a shared Generator is
+        not thread-safe), and varying across epochs like the reference's
+        global-RNG draws."""
+        return np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch, index]))
 
     def _load_labels(self) -> Tuple[List[np.ndarray], List[List[np.ndarray]]]:
         cache_file = self._cache_path().with_suffix(".labels")
@@ -368,10 +377,10 @@ class DetectionDataset(ImageFolderDataset):
         return labels, segments
 
     # -- mosaic (data_loader.py:726-830) ----------------------------------
-    def load_mosaic(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+    def load_mosaic(self, index: int, rng: Optional[np.random.Generator] = None) -> Tuple[np.ndarray, np.ndarray]:
         s = self.img_size
         half = s // 2
-        rng = self.rng
+        rng = self.rng if rng is None else rng
         mc_h, mc_w = (int(rng.uniform(half, 2 * s - half)) for _ in range(2))
         indices = [index] + list(rng.choice(self.indices, 3))
         rng.shuffle(indices)
@@ -416,7 +425,9 @@ class DetectionDataset(ImageFolderDataset):
         cp2 = self.yolo_augmentation.get("copy_paste2") or {}
         if cp2.get("p", 0.0) > 0.0:
             for _ in range(cp2.get("n_img", 3)):
-                mosaic_img, labels4, mosaic_segments = self._cross_copy_paste(mosaic_img, labels4, mosaic_segments)
+                mosaic_img, labels4, mosaic_segments = self._cross_copy_paste(
+                    mosaic_img, labels4, mosaic_segments, rng
+                )
 
         mosaic_img, labels4 = random_perspective(
             mosaic_img,
@@ -432,10 +443,11 @@ class DetectionDataset(ImageFolderDataset):
         )
         return mosaic_img, labels4
 
-    def _cross_copy_paste(self, img, labels, segs):
+    def _cross_copy_paste(self, img, labels, segs, rng: Optional[np.random.Generator] = None):
         """Pick a random donor image and paste its segments (kd of copy_paste2)."""
+        rng = self.rng if rng is None else rng
         cp2 = self.yolo_augmentation.get("copy_paste2") or {}
-        j = int(self.rng.integers(0, len(self.img_files)))
+        j = int(rng.integers(0, len(self.img_files)))
         img2, _, (h2, w2) = self.load_image(j)
         labels2 = self.labels[j].copy() if self.labels[j].size else np.zeros((0, 5), np.float32)
         segs2 = [seg.copy() for seg in self.segments[j]]
@@ -443,7 +455,7 @@ class DetectionDataset(ImageFolderDataset):
             labels2[:, 1:] = xywh2xyxy(labels2[:, 1:], wh=(w2, h2))
             segs2 = [xyn2xy(x, wh=(w2, h2)) for x in segs2]
         return copy_paste2(
-            img, labels, segs, img2, labels2, segs2, self.rng,
+            img, labels, segs, img2, labels2, segs2, rng,
             scale_min=cp2.get("scale_min", 0.35),
             scale_max=cp2.get("scale_max", 1.0),
             p=cp2.get("p", 0.0),
@@ -455,15 +467,15 @@ class DetectionDataset(ImageFolderDataset):
     def __getitem__(self, index: int):
         """Returns (img HWC-BGR uint8, (n, 5) [cls, xywh-norm], path, shapes)."""
         index = int(self.indices[index])
-        rng = self.rng
+        rng = self._item_rng(index)
         shape = self.target_shape(index)
 
         if rng.random() < self.yolo_augmentation.get("mosaic", 0.0):
-            img, labels = self.load_mosaic(index)
+            img, labels = self.load_mosaic(index, rng)
             shapes = ((0, 0), ((0.0, 0.0), (0.0, 0.0)))
             if rng.random() < self.yolo_augmentation.get("mixup", 0.0):
                 img, labels = mixup(
-                    img, labels, *self.load_mosaic(int(rng.integers(0, len(self.img_files)))), rng
+                    img, labels, *self.load_mosaic(int(rng.integers(0, len(self.img_files))), rng), rng
                 )
         else:
             img, (h0, w0), resized = self.load_image(index)
@@ -482,7 +494,7 @@ class DetectionDataset(ImageFolderDataset):
             cp2 = self.yolo_augmentation.get("copy_paste2") or {}
             if cp2.get("p", 0.0) > 0.0:
                 for _ in range(cp2.get("n_img", 3)):
-                    img, labels, segments = self._cross_copy_paste(img, labels, segments)
+                    img, labels, segments = self._cross_copy_paste(img, labels, segments, rng)
 
             if self.augment:
                 img, labels = random_perspective(

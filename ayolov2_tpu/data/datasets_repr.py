@@ -5,8 +5,9 @@ Parity target: /root/reference/scripts/data_loader/data_loader_repr.py
 scripts/representation_learning/crop_bboxes.py:38-73.
 
 Each __getitem__ returns ``n_trans`` independently augmented views of one
-image; the loader interleaves them view-major inside the batch so the
-RL/InfoNCE losses' even/odd / tile(arange(bs)) layouts hold.
+image; the loader interleaves them image-major inside the batch (the
+reference collate layout) so the RL/InfoNCE losses' even/odd and
+repeat(arange(bs), n_trans) pairings hold.
 """
 
 from __future__ import annotations
@@ -86,10 +87,12 @@ class SimCLRDataset(RLImageDataset):
 
 
 class RLDataLoader:
-    """Batches n_trans-view items view-major: (n_trans * bs, H, W, 3).
+    """Batches n_trans-view items image-major: (bs * n_trans, H, W, 3).
 
-    Layout matches the losses: row i is view i // bs of image i % bs —
-    i.e. images interleave fastest (tile(arange(bs), n_trans) ids).
+    Layout matches the reference collate (data_loader_repr.py:127-149):
+    rows are [img0_v0, img0_v1, img1_v0, ...] — views interleave fastest,
+    so RLLoss's even/odd pairing and InfoNCE's repeat(arange(bs), n_trans)
+    ids both index the same image's views.
     """
 
     def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False, seed: int = 0) -> None:
@@ -110,7 +113,7 @@ class RLDataLoader:
             idx = order[i : i + self.batch_size]
             items = [self.dataset[int(j)] for j in idx]
             views = np.stack([it[0] for it in items])  # (bs, n_trans, H, W, 3)
-            batch = views.transpose(1, 0, 2, 3, 4).reshape(-1, *views.shape[2:])
+            batch = views.reshape(-1, *views.shape[2:])  # image-major interleave
             yield batch, [it[1] for it in items]
         self.epoch += 1
 

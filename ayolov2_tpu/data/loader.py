@@ -2,7 +2,7 @@
 
 Replaces the reference's torch DataLoader + collate_fn
 (scripts/data_loader/data_loader_utils.py:27-120, data_loader.py:887-909)
-with a thread-prefetched loader producing XLA-friendly batches:
+with a multi-worker thread-prefetched loader producing XLA-friendly batches:
 
   - images: (B, H, W, 3) uint8 NHWC (normalization happens on device —
     one H2D copy of bytes, not floats: 4x less PCIe/ICI traffic)
@@ -11,14 +11,20 @@ with a thread-prefetched loader producing XLA-friendly batches:
   - per-host sharding: with ``shard=(index, count)`` each host iterates its
     1/count slice — the mesh-era replacement for DistributedSampler
     (data_loader_utils.py:101-103).
+  - fixed-shape final batch: padded by repeating rows, with ``n_real``
+    recording the true item count so consumers (validator, result writer)
+    never double-count the padding (reference runs a short last batch —
+    scripts/utils/train_utils.py:403-472 semantics preserved via n_real).
 
-Workers are threads, not processes: cv2/numpy release the GIL for the heavy
-ops and threads avoid fork+JAX issues.
+Workers are threads, not processes (the reference uses a multi-worker
+torch DataLoader, data_loader_utils.py:96-116): cv2/numpy release the GIL
+for the heavy ops and threads avoid fork+JAX issues. ``workers=N`` builds N
+batches concurrently; ordered reassembly keeps the epoch sequence
+deterministic regardless of which worker finishes first.
 """
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -28,31 +34,32 @@ from ayolov2_tpu.loss.yolo_loss import pad_targets
 
 
 class Batch:
-    """One collated batch."""
+    """One collated batch. ``n_real``: items before final-batch padding."""
 
-    __slots__ = ("images", "targets", "target_mask", "paths", "shapes", "n_labels")
+    __slots__ = ("images", "targets", "target_mask", "paths", "shapes", "n_labels", "n_real")
 
-    def __init__(self, images, targets, target_mask, paths, shapes, n_labels):
+    def __init__(self, images, targets, target_mask, paths, shapes, n_labels, n_real=None):
         self.images = images
         self.targets = targets
         self.target_mask = target_mask
         self.paths = paths
         self.shapes = shapes
         self.n_labels = n_labels
+        self.n_real = len(paths) if n_real is None else n_real
 
 
-def collate(items: Sequence, max_labels_per_image: int = 64) -> Batch:
+def collate(items: Sequence, max_labels_per_image: int = 64, n_real: Optional[int] = None) -> Batch:
     """Stack dataset items into one fixed-shape batch."""
     imgs, labels, paths, shapes = zip(*items)
     images = np.stack(imgs)  # (B, H, W, 3) uint8
     bs = len(items)
     targets, mask = pad_targets(labels, bs, bs * max_labels_per_image)
     n_labels = [len(lab) for lab in labels]
-    return Batch(images, targets, mask, list(paths), list(shapes), n_labels)
+    return Batch(images, targets, mask, list(paths), list(shapes), n_labels, n_real)
 
 
 class DataLoader:
-    """Thread-prefetched batch iterator over an indexable dataset.
+    """Multi-worker prefetched batch iterator over an indexable dataset.
 
     Args:
         dataset: object with __len__/__getitem__ returning (img, labels,
@@ -62,9 +69,14 @@ class DataLoader:
             yields batch_size // n per step from its slice.
         shuffle: reshuffle each epoch (seeded).
         drop_last: drop the trailing partial batch (train mode keeps shapes
-            static; val mode pads the final batch instead).
+            static; val mode pads the final batch instead and reports n_real).
+        workers: number of concurrent batch-builder threads.
         max_labels_per_image: label capacity per image for pad_targets.
         shard: (host_index, host_count) input sharding.
+
+    Yields Batch (detection=True) or (images, metas, indices, n_real)
+    tuples (detection=False), where metas/indices are already truncated to
+    the real items.
     """
 
     def __init__(
@@ -115,44 +127,87 @@ class DataLoader:
         idx, cnt = self.shard
         return order[idx::cnt]
 
-    def __iter__(self) -> Iterator[Batch]:
+    def _build(self, b: np.ndarray, n_real: int):
+        items = [self.dataset[int(i)] for i in b]
+        if self.detection:
+            return collate(items, self.max_labels, n_real=n_real)
+        imgs = np.stack([it[0] for it in items])
+        metas = [(it[1], it[2]) for it in items[:n_real]]
+        return (imgs, metas, [int(i) for i in b[:n_real]], n_real)
+
+    def __iter__(self) -> Iterator:
         indices = self._host_indices()
+        # the dataset derives per-item augmentation RNG from (seed, epoch,
+        # index) — publish the epoch so draws vary across epochs yet stay
+        # deterministic under concurrent workers
+        try:
+            self.dataset.epoch = self.epoch
+        except AttributeError:
+            pass
         batches: List[np.ndarray] = [
             indices[i : i + self.batch_size] for i in range(0, len(indices), self.batch_size)
         ]
+        n_real: List[int] = [len(b) for b in batches]
         if batches and len(batches[-1]) < self.batch_size:
             if self.drop_last:
                 batches.pop()
+                n_real.pop()
             elif self.pad_final_batch and len(batches[-1]):
                 short = self.batch_size - len(batches[-1])
                 batches[-1] = np.concatenate([batches[-1], batches[-1][:1].repeat(short)])
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.workers * 2)
+        n_batches = len(batches)
+        results: dict = {}
+        errors: List[BaseException] = []
+        cond = threading.Condition()
         stop = threading.Event()
+        next_task = [0]
+        # bound how far workers run ahead of the consumer (memory cap)
+        max_ahead = 2 * self.workers
 
-        def produce():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = [self.dataset[int(i)] for i in b]
-                    if self.detection:
-                        q.put(collate(items, self.max_labels))
+        def worker():
+            while not stop.is_set():
+                with cond:
+                    while not stop.is_set():
+                        i = next_task[0]
+                        if i >= n_batches:
+                            return
+                        if len(results) < max_ahead or not results:
+                            next_task[0] = i + 1
+                            break
+                        cond.wait(0.1)
                     else:
-                        imgs = np.stack([it[0] for it in items])
-                        metas = [(it[1], it[2]) for it in items]
-                        q.put((imgs, metas, [int(i) for i in b]))
-            finally:
-                q.put(None)
+                        return
+                try:
+                    built = self._build(batches[i], n_real[i])
+                except BaseException as e:  # propagate to the consumer
+                    with cond:
+                        errors.append(e)
+                        stop.set()
+                        cond.notify_all()
+                    return
+                with cond:
+                    results[i] = built
+                    cond.notify_all()
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
+        threads = [
+            threading.Thread(target=worker, daemon=True, name=f"loader-w{k}")
+            for k in range(min(self.workers, max(n_batches, 1)))
+        ]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
+            for i in range(n_batches):
+                with cond:
+                    while i not in results and not errors:
+                        cond.wait(0.1)
+                    if errors:
+                        raise errors[0]
+                    item = results.pop(i)
+                    cond.notify_all()
                 yield item
         finally:
             stop.set()
+            with cond:
+                cond.notify_all()
         self.epoch += 1

@@ -298,10 +298,14 @@ class YoloValidator:
                 t3 = time.perf_counter()
 
             dt += (t1 - t0, t2 - t1, t3 - t2)
-            seen += bs
+            # count and score only the real items of a padded final batch
+            # (the reference runs a short last batch; we keep static shapes
+            # and slice instead — loader.Batch.n_real)
+            n_real = getattr(batch, "n_real", bs)
+            seen += n_real
             n_batches += 1
 
-            dets = detections_to_list(np.asarray(det), np.asarray(n_valid))
+            dets = detections_to_list(np.asarray(det), np.asarray(n_valid))[:n_real]
             self.statistics_per_image(dets, batch, (h, w), stats, confusion=self.confusion)
 
         return self.compute_statistics(stats, loss_sum, dt, seen, n_batches, verbose)

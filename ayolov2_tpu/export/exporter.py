@@ -121,6 +121,7 @@ def export_serving(
     half: bool = True,
     fused_input: bool = False,
     platforms: Optional[Tuple[str, ...]] = None,
+    decompose_map: Tuple = (),
 ) -> Dict[str, str]:
     """Export the serving graph; returns the written file paths.
 
@@ -130,9 +131,11 @@ def export_serving(
             or already-fused params with ``fused_input=True``.
         platforms: lowering platforms, e.g. ("tpu",) or ("cpu", "tpu") —
             default: the current backend.
+        decompose_map: Tucker-decomposed conv layer map from a decomposed
+            checkpoint's meta (cli/decompose_model.py).
     """
     dtype = jnp.bfloat16 if half else jnp.float32
-    model = build_model(model_cfg, dtype=dtype, fused=True, nc=nc)
+    model = build_model(model_cfg, dtype=dtype, fused=True, nc=nc, decompose_map=decompose_map)
     fused = variables if fused_input else fuse_params(variables)
 
     serve = make_serving_fn(

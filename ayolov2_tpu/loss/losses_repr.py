@@ -39,9 +39,10 @@ class RLLoss:
 class InfoNCELoss:
     """SimCLR NT-Xent over n_trans views per image.
 
-    ``features``: (n_trans * bs, d) with view-major layout — the reference
-    builds labels as cat([arange(bs)] * n_trans) (losses_repr.py:92-99), so
-    row i belongs to image i % bs.
+    ``features``: (bs * n_trans, d) with IMAGE-MAJOR layout — the reference
+    builds labels as cat([[i]*n_trans for i in range(bs)]) i.e.
+    repeat(arange(bs), n_trans) (losses_repr.py:92-99), so row i belongs to
+    image i // n_trans.
     """
 
     batch_size: int = 32
@@ -51,23 +52,21 @@ class InfoNCELoss:
     def __call__(self, features: jax.Array) -> Tuple[jax.Array, jax.Array]:
         n = features.shape[0]
         bs = n // self.n_trans
-        img_ids = jnp.tile(jnp.arange(bs), self.n_trans)  # (n,)
-        pos_mask = (img_ids[:, None] == img_ids[None, :]) & ~jnp.eye(n, dtype=bool)
+        img_ids = jnp.repeat(jnp.arange(bs), self.n_trans)  # (n,)
+        eye = jnp.eye(n, dtype=bool)
+        pos_mask = (img_ids[:, None] == img_ids[None, :]) & ~eye
 
         f = features / (jnp.linalg.norm(features, axis=1, keepdims=True) + 1e-12)
         sim = f @ f.T / self.temperature
 
-        # reference semantics (losses_repr.py:120-132): each (row, positive)
-        # pair is one CE example with logits [positive | negatives] and
-        # target 0: loss = -log exp(pos) / (exp(pos) + sum exp(negatives))
+        # Reference semantics (losses_repr.py:111-132): per row, ONE CE
+        # example with logits [positives | negatives] and target 0 — the
+        # numerator is the FIRST positive; the remaining positives sit in
+        # the denominator alongside the negatives, so the denominator is
+        # simply all off-diagonal entries of the row.
         neg_inf = jnp.asarray(-1e9, sim.dtype)
-        n_pos = self.n_trans - 1
-        neg_mask = ~pos_mask & ~jnp.eye(n, dtype=bool)
-        neg_logsum = jax.nn.logsumexp(jnp.where(neg_mask, sim, neg_inf), axis=1)
-        per_pos = jnp.where(
-            pos_mask,
-            sim - jnp.logaddexp(sim, neg_logsum[:, None]),
-            0.0,
-        )
-        loss = -jnp.sum(per_pos) / (n * n_pos)
+        denom = jax.nn.logsumexp(jnp.where(~eye, sim, neg_inf), axis=1)
+        first_pos = jnp.argmax(pos_mask, axis=1)  # smallest j with same image
+        pos_logit = jnp.take_along_axis(sim, first_pos[:, None], axis=1)[:, 0]
+        loss = -(pos_logit - denom).mean()
         return loss * bs, jnp.asarray([loss])

@@ -11,8 +11,21 @@ sharding replaces DistributedSampler (ayolov2_tpu.data.loader shard=).
 from ayolov2_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
+    host_broadcast_max,
+    initialize_distributed,
+    is_main_process,
+    make_global_batch,
     replicate,
     shard_batch,
 )
 
-__all__ = ["get_mesh", "batch_sharding", "replicate", "shard_batch"]
+__all__ = [
+    "get_mesh",
+    "batch_sharding",
+    "replicate",
+    "shard_batch",
+    "initialize_distributed",
+    "is_main_process",
+    "make_global_batch",
+    "host_broadcast_max",
+]

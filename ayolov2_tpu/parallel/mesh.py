@@ -22,9 +22,73 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed() -> None:
-    """Multi-host bootstrap (no-op single-host). Parity: ddp_init."""
-    if int(os.environ.get("AYOLO_NUM_HOSTS", "1")) > 1 and jax.process_count() == 1:
+    """Multi-host bootstrap (no-op single-host). Parity: ddp_init
+    (train_model_builder.py:93-114) — the reference's LOCAL_RANK/RANK/
+    WORLD_SIZE env contract becomes AYOLO_COORDINATOR / AYOLO_NUM_PROCS /
+    AYOLO_PROC_ID (explicit cluster, e.g. CPU/GPU pods or tests) or plain
+    ``jax.distributed.initialize()`` auto-detection (TPU pods) when only
+    AYOLO_NUM_HOSTS>1 is set.
+    """
+    # NOTE: do not probe jax.process_count() here — it would initialize the
+    # XLA backend, after which jax.distributed.initialize refuses to run
+    if jax.distributed.is_initialized():
+        return
+    n_procs = int(os.environ.get("AYOLO_NUM_PROCS", "0"))
+    if n_procs > 1:
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("AYOLO_COORDINATOR", "localhost:12321"),
+            num_processes=n_procs,
+            process_id=int(os.environ.get("AYOLO_PROC_ID", "0")),
+        )
+    elif int(os.environ.get("AYOLO_NUM_HOSTS", "1")) > 1:
         jax.distributed.initialize()
+
+
+def is_main_process() -> bool:
+    """Host-0 gate for checkpoint/val/logging (torch_utils.py:38-49 /
+    yolo_trainer.py:394 rank-0 semantics)."""
+    return jax.process_index() == 0
+
+
+def host_broadcast_max(mesh: Mesh, value: float) -> float:
+    """All-hosts max of a scalar — the mesh-era replacement for the
+    reference's ``dist.broadcast`` of rank-0 decisions (yolo_trainer.py:458-467,
+    torch_utils.py:38-49 barrier): every host contributes (host 0 the real
+    value, others a neutral 0), one tiny jitted all-reduce returns the same
+    number everywhere. No-op single-process."""
+    if jax.process_count() == 1:
+        return value
+    import jax.numpy as jnp
+
+    local = np.full((jax.local_device_count(),), value, np.float32)
+    g = jax.make_array_from_process_local_data(batch_sharding(mesh, 1), local)
+    out = jax.jit(
+        jnp.max, in_shardings=batch_sharding(mesh, 1), out_shardings=replicate(mesh)
+    )(g)
+    return float(out)
+
+
+def make_global_batch(mesh: Mesh, images: Any, targets: Any, target_mask: Any) -> Tuple[Any, Any, Any]:
+    """Assemble per-host loader shards into global device arrays.
+
+    Single-process: passthrough (jit's in_shardings handle placement).
+    Multi-process: each host holds batch/world_size items
+    (DataLoader(shard=(process_index, process_count))); images/targets/mask
+    become dim-0-sharded global arrays via
+    ``jax.make_array_from_process_local_data``, and the targets' image-index
+    column is offset to GLOBAL batch rows (the reference's per-rank batch
+    split + DistributedSampler contract, data_loader_utils.py:67,101-103).
+    """
+    if jax.process_count() == 1:
+        return images, targets, target_mask
+    images = np.asarray(images)
+    targets = np.array(targets, copy=True)
+    local_bs = images.shape[0]
+    targets[:, 0] += jax.process_index() * local_bs
+    gi = jax.make_array_from_process_local_data(batch_sharding(mesh, images.ndim), images)
+    gt = jax.make_array_from_process_local_data(batch_sharding(mesh, targets.ndim), targets)
+    gm = jax.make_array_from_process_local_data(batch_sharding(mesh, 1), np.asarray(target_mask))
+    return gi, gt, gm
 
 
 def get_mesh(

@@ -4,20 +4,27 @@ Parity target: /root/reference/scripts/train/kd_trainer.py:37-586:
   - frozen teacher produces pseudo-labels on unlabeled images via NMS
     (conf 0.4, iou 0.7), filtered to score > 0.9 and box size > 20 px
     (:356-433, filter_invalid :468-491)
-  - strong (pixel/affine-free here: pixel-level) augmentation applied to
-    the pseudo-labeled images before the student sees them
+  - strong (pixel-level) augmentation applied to the pseudo-labeled images
+    before the student sees them
   - student loss = labeled loss + 0.5 * pseudo loss (:167-172)
   - a background thread keeps a pseudo-batch buffer filled (:356-371)
+  - full training machinery like the detection trainer (:199-245): 3-group
+    optimizer (BN-scale / decayed weights / bias), LambdaLR cosine schedule,
+    lr/momentum warmup ramp, gradient accumulation to nbs=64, best/last
+    checkpoints carrying optimizer state (:576-586), best by val mAP50
+    (:295-309)
 
 TPU-first: teacher forward + NMS is one jitted program; the student step
 jits BOTH batches' losses into a single backward (one graph, one optimizer
-update); loaders shard per host.
+update + in-step EMA) and runs mesh-sharded over the data axis like
+YoloTrainer (batch split across chips; XLA inserts the gradient all-reduce).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
@@ -28,6 +35,15 @@ import optax
 from ayolov2_tpu.data.augment import MultiAugmentationPolicies
 from ayolov2_tpu.loss.yolo_loss import ComputeLoss, pad_targets
 from ayolov2_tpu.ops.nms import batched_nms, detections_to_list
+from ayolov2_tpu.parallel import (
+    batch_sharding,
+    get_mesh,
+    is_main_process,
+    make_global_batch,
+    replicate,
+)
+from ayolov2_tpu.train.optimizer import NBS_NOMINAL, build_optimizer
+from ayolov2_tpu.train.train_state import EMA, TrainState, create_train_state
 from ayolov2_tpu.train.trainer import AbstractTrainer, scale_hyp_gains
 from ayolov2_tpu.utils.boxes import xyxy2xywh
 from ayolov2_tpu.utils.checkpoint import save_checkpoint
@@ -46,6 +62,9 @@ class SoftTeacherTrainer(AbstractTrainer):
         labeled_loader: DataLoader over the labeled DetectionDataset.
         unlabeled_loader: DataLoader over an image-only dataset (detection
             batches with empty labels work too).
+        val_loader: optional DataLoader for epoch validation (best-by-mAP50
+            checkpointing like the reference KD validator, kd_trainer.py:276-309).
+        n_devices: shard the batch over this many devices (None = all).
     """
 
     PSEUDO_LOSS_WEIGHT = 0.5  # kd_trainer.py:93
@@ -63,11 +82,12 @@ class SoftTeacherTrainer(AbstractTrainer):
         cfg: Dict[str, Any],
         labeled_loader,
         unlabeled_loader,
+        val_loader=None,
         log_dir: str = "runs/distill/exp",
         model_cfg_dict: Optional[Dict[str, Any]] = None,
+        n_devices: Optional[int] = None,
+        class_names: Optional[list] = None,
     ) -> None:
-        from pathlib import Path
-
         tcfg = cfg["train"]
         super().__init__(epochs=int(tcfg["epochs"]))
         self.student = student
@@ -77,11 +97,14 @@ class SoftTeacherTrainer(AbstractTrainer):
         self.tcfg = tcfg
         self.labeled_loader = labeled_loader
         self.unlabeled_loader = unlabeled_loader
+        self.val_loader = val_loader
         self.log_dir = Path(log_dir)
         self.wdir = self.log_dir / "weights"
         self.wdir.mkdir(parents=True, exist_ok=True)
         self.model_cfg_dict = model_cfg_dict
+        self.class_names = class_names or [str(i) for i in range(student.nc)]
         self.max_labels = getattr(labeled_loader, "max_labels", 64)
+        self.best_score = 0.0
 
         hyp = dict(cfg["hyper_params"])
         hyp["label_smoothing"] = float(tcfg.get("label_smoothing", 0.0))
@@ -91,15 +114,39 @@ class SoftTeacherTrainer(AbstractTrainer):
         head = YOLOHead(nc=student.nc, anchors=student.anchors, strides=student.strides)
         self.loss_fn = ComputeLoss.from_hyp(head.stride_anchors(), student.nc, self.hyp)
 
-        opt = hyp.get("optimizer_params", {})
-        self.tx = optax.sgd(
-            float(opt.get("lr", 0.01)),
-            momentum=float(opt.get("momentum", 0.937)),
-            nesterov=bool(opt.get("nesterov", True)),
+        # --- reference KD optimizer machinery (kd_trainer.py:199-245):
+        # 3 param groups + warmup + cosine schedule + accumulate to nbs=64
+        self.batch_size = int(tcfg["batch_size"])
+        accumulate = max(round(NBS_NOMINAL / self.batch_size), 1)
+        self.accumulate = accumulate
+        self.tx = build_optimizer(
+            student_variables["params"],
+            self.hyp,
+            epochs=self.epochs,
+            steps_per_epoch=max(len(labeled_loader), 1),
+            batch_size=self.batch_size,
+            accumulate=accumulate,
+            optimizer=hyp.get("optimizer", "SGD"),
+            linear_lr=bool(tcfg.get("linear_lr", False)),
         )
-        self.params = student_variables["params"]
-        self.batch_stats = student_variables.get("batch_stats", {})
-        self.opt_state = self.tx.init(self.params)
+
+        # --- mesh-sharded jitted KD step (DDP analogue, like YoloTrainer) ---
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+        self.mesh = get_mesh(devices)
+        self.state: TrainState = jax.device_put(
+            create_train_state(student_variables, self.tx), replicate(self.mesh)
+        )
+        image_dtype = jnp.bfloat16 if tcfg.get("half", True) else jnp.float32
+        self._image_dtype = image_dtype
+        rep, bsh = replicate(self.mesh), batch_sharding(self.mesh, 4)
+        multi = jax.process_count() > 1
+        tsh = batch_sharding(self.mesh, 2) if multi else rep
+        msh = batch_sharding(self.mesh, 1) if multi else rep
+        self._student_step = jax.jit(
+            self._make_step(image_dtype),
+            in_shardings=(rep, bsh, tsh, msh, bsh, tsh, msh),
+            out_shardings=(rep, rep, rep),
+        )
 
         self.strong_aug = (
             MultiAugmentationPolicies(cfg.get("strong_augmentation"))
@@ -109,7 +156,6 @@ class SoftTeacherTrainer(AbstractTrainer):
         self.rng = np.random.default_rng(int(tcfg.get("seed", 0)))
 
         self._teacher_infer = jax.jit(self._teacher_infer_impl)
-        self._student_step = jax.jit(self._student_step_impl)
         self._pseudo_q: "queue.Queue" = queue.Queue(maxsize=4)
         self._stop = threading.Event()
         self.last_items = np.zeros(4)
@@ -158,30 +204,44 @@ class SoftTeacherTrainer(AbstractTrainer):
                 self._pseudo_q.put(self.make_pseudo_batch(batch.images))
 
     # -- student --------------------------------------------------------------
-    def _student_step_impl(
-        self, params, batch_stats, opt_state,
-        imgs_l, tgt_l, mask_l, imgs_u, tgt_u, mask_u,
-    ):
-        x_l = imgs_l.astype(jnp.float32) / 255.0
-        x_u = imgs_u.astype(jnp.float32) / 255.0
+    def _make_step(self, image_dtype, ema: EMA = EMA()):
+        student, loss_fn, tx = self.student, self.loss_fn, self.tx
+        w_pseudo = self.PSEUDO_LOSS_WEIGHT
 
-        def compute(p):
-            raw_l, mut = self.student.apply(
-                {"params": p, "batch_stats": batch_stats}, x_l,
-                training=True, mutable=["batch_stats"],
-            )
-            loss_l, items_l = self.loss_fn(raw_l, tgt_l, mask_l)
-            raw_u, mut2 = self.student.apply(
-                {"params": p, "batch_stats": mut["batch_stats"]}, x_u,
-                training=True, mutable=["batch_stats"],
-            )
-            loss_u, items_u = self.loss_fn(raw_u, tgt_u, mask_u)
-            total = loss_l + self.PSEUDO_LOSS_WEIGHT * loss_u  # kd_trainer.py:172
-            return total, (mut2["batch_stats"], items_l, items_u)
+        def step(state: TrainState, imgs_l, tgt_l, mask_l, imgs_u, tgt_u, mask_u):
+            x_l = imgs_l.astype(image_dtype) / jnp.asarray(255.0, image_dtype)
+            x_u = imgs_u.astype(image_dtype) / jnp.asarray(255.0, image_dtype)
 
-        (_, (new_stats, items_l, items_u)), grads = jax.value_and_grad(compute, has_aux=True)(params)
-        updates, new_opt = self.tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_stats, new_opt, items_l, items_u
+            def compute(p):
+                raw_l, mut = student.apply(
+                    {"params": p, "batch_stats": state.batch_stats}, x_l,
+                    training=True, mutable=["batch_stats"],
+                )
+                loss_l, items_l = loss_fn(raw_l, tgt_l, mask_l)
+                raw_u, mut2 = student.apply(
+                    {"params": p, "batch_stats": mut["batch_stats"]}, x_u,
+                    training=True, mutable=["batch_stats"],
+                )
+                loss_u, items_u = loss_fn(raw_u, tgt_u, mask_u)
+                total = loss_l + w_pseudo * loss_u  # kd_trainer.py:172
+                return total, (mut2["batch_stats"], items_l, items_u)
+
+            (_, (new_stats, items_l, items_u)), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema_updates = state.ema_updates + 1
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                ema_params=ema.update(state.ema_params, new_params, new_ema_updates),
+                ema_batch_stats=ema.update(state.ema_batch_stats, new_stats, new_ema_updates),
+                ema_updates=new_ema_updates,
+                step=state.step + 1,
+            )
+            return new_state, items_l, items_u
+
+        return step
 
     # -- lifecycle ---------------------------------------------------------
     def on_train_start(self) -> None:
@@ -193,10 +253,11 @@ class SoftTeacherTrainer(AbstractTrainer):
 
     def training_step(self, batch, batch_idx: int) -> Dict[str, float]:
         imgs_u, tgt_u, mask_u = self._pseudo_q.get()
-        self.params, self.batch_stats, self.opt_state, items_l, items_u = self._student_step(
-            self.params, self.batch_stats, self.opt_state,
-            jnp.asarray(batch.images), jnp.asarray(batch.targets), jnp.asarray(batch.target_mask),
-            jnp.asarray(imgs_u), jnp.asarray(tgt_u), jnp.asarray(mask_u),
+        il, tl, ml = make_global_batch(self.mesh, batch.images, batch.targets, batch.target_mask)
+        iu, tu, mu = make_global_batch(self.mesh, imgs_u, tgt_u, mask_u)
+        self.state, items_l, items_u = self._student_step(
+            self.state, jnp.asarray(il), jnp.asarray(tl), jnp.asarray(ml),
+            jnp.asarray(iu), jnp.asarray(tu), jnp.asarray(mu),
         )
         if batch_idx % 20 == 0:
             self.last_items = np.asarray(items_l)
@@ -208,25 +269,41 @@ class SoftTeacherTrainer(AbstractTrainer):
         return {}
 
     def validation(self) -> None:
-        self._save("last.ckpt")
+        if not is_main_process():
+            return  # host-0-only val/ckpt (kd_trainer.py rank gating)
+        if self.val_loader is None:
+            self._save_weights("last.ckpt")
+            return
+        from ayolov2_tpu.eval import YoloValidator
+
+        variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        if jax.process_count() > 1:
+            variables = jax.device_get(variables)
+        if getattr(self, "_validator", None) is None:
+            self._validator = YoloValidator(
+                self.student, variables, self.val_loader,
+                class_names=self.class_names,
+                cfg={"half": bool(self.tcfg.get("half", True))},
+            )
+        self._validator.variables = variables
+        result = self._validator.validation()
+        map50 = result["map50"]
+        self.log_dict({"mAP50": map50, "mAP50_95": result["map50_95"]})
+        if map50 >= self.best_score:
+            self.best_score = map50
+            self._save_weights("best.ckpt", map50=map50)
+        self._save_weights("last.ckpt", map50=map50)
 
     def on_train_end(self) -> None:
         self._stop.set()
         # drain so the producer can observe the stop flag
         while not self._pseudo_q.empty():
             self._pseudo_q.get_nowait()
-        self._save("last.ckpt")
+        if is_main_process():
+            self._save_weights("last.ckpt")
 
-    def _save(self, name: str) -> None:
-        class _S:  # save_checkpoint state shim
-            pass
-
-        s = _S()
-        s.params = self.params
-        s.batch_stats = self.batch_stats
-        s.ema_params = self.params
-        s.ema_batch_stats = self.batch_stats
-        s.ema_updates = jnp.zeros((), jnp.int32)
-        s.step = jnp.zeros((), jnp.int32)
-        s.opt_state = self.opt_state
-        save_checkpoint(self.wdir / name, s, epoch=self.current_epoch, model_cfg=self.model_cfg_dict)
+    def _save_weights(self, name: str, map50: Optional[float] = None) -> None:
+        save_checkpoint(
+            self.wdir / name, self.state, epoch=self.current_epoch,
+            best_score=self.best_score, map50=map50, model_cfg=self.model_cfg_dict,
+        )

@@ -165,7 +165,16 @@ def build_optimizer(
     optimizer: str = "SGD",
     linear_lr: bool = False,
 ) -> optax.GradientTransformation:
-    """Build the 3-group optimizer from the hyper_params config section."""
+    """Build the 3-group optimizer from the hyper_params config section.
+
+    ``steps_per_epoch`` is in MICRO-BATCH units (``len(train_loader)``).
+    When ``accumulate > 1`` the whole transformation is wrapped in
+    optax.MultiSteps, whose inner step counter ticks once per ``accumulate``
+    micro-batches — so the schedules are converted here to optimizer-update
+    units (divide by ``accumulate``). This matches the reference's ramp,
+    which counts micro-iterations ni with nw = max(3·nb, 1000)
+    (yolo_trainer.py:205-221), expressed in update units.
+    """
     opt_params = hyp.get("optimizer_params", {})
     lr0 = float(opt_params.get("lr", 0.01))
     momentum = float(opt_params.get("momentum", hyp.get("momentum", 0.937)))
@@ -178,13 +187,13 @@ def build_optimizer(
         lr0=lr0,
         lrf=float(hyp.get("lrf", 0.1)),
         epochs=epochs,
-        steps_per_epoch=steps_per_epoch,
+        steps_per_epoch=max(steps_per_epoch // accumulate, 1),
         warmup_epochs=float(hyp.get("warmup_epochs", 3.0)),
         warmup_bias_lr=float(hyp.get("warmup_bias_lr", 0.1)),
         warmup_momentum=float(hyp.get("warmup_momentum", 0.8)),
         momentum=momentum,
         linear_lr=linear_lr,
-        warmup_min_iters=int(hyp.get("warmup_min_iters", 1000)),
+        warmup_min_iters=max(int(hyp.get("warmup_min_iters", 1000)) // accumulate, 1),
     )
 
     def make(group: str, wd: float):

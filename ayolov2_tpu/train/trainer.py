@@ -36,7 +36,14 @@ import numpy as np
 
 from ayolov2_tpu.loss.yolo_loss import ComputeLoss
 from ayolov2_tpu.models.builder import count_params
-from ayolov2_tpu.parallel import batch_sharding, get_mesh, replicate
+from ayolov2_tpu.parallel import (
+    batch_sharding,
+    get_mesh,
+    host_broadcast_max,
+    is_main_process,
+    make_global_batch,
+    replicate,
+)
 from ayolov2_tpu.train.optimizer import NBS_NOMINAL, build_optimizer
 from ayolov2_tpu.train.train_state import TrainState, create_train_state, make_train_step
 from ayolov2_tpu.utils.anchors import check_anchors
@@ -187,7 +194,7 @@ class YoloTrainer(AbstractTrainer):
             variables["params"],
             self.hyp,
             epochs=self.epochs,
-            steps_per_epoch=steps_per_epoch * accumulate,
+            steps_per_epoch=steps_per_epoch,
             batch_size=self.batch_size,
             accumulate=accumulate,
             optimizer=hyp.get("optimizer", "SGD"),
@@ -203,21 +210,7 @@ class YoloTrainer(AbstractTrainer):
         self.state: TrainState = jax.device_put(
             create_train_state(variables, self.tx), replicate(self.mesh)
         )
-        image_dtype = jnp.bfloat16 if tcfg.get("half", True) else jnp.float32
-        self._train_step = jax.jit(
-            make_train_step(model, self.compute_loss, self.tx, image_dtype=image_dtype),
-            in_shardings=(
-                replicate(self.mesh),
-                batch_sharding(self.mesh, 4),
-                replicate(self.mesh),
-                replicate(self.mesh),
-            ),
-            out_shardings=(replicate(self.mesh), replicate(self.mesh)),
-            # donating state buffers deadlocks XLA:CPU collectives (virtual
-            # test meshes) and errors on tunneled TPU backends — opt in via
-            # train.donate_state on directly-attached hardware for HBM reuse
-            donate_argnums=(0,) if tcfg.get("donate_state", False) else (),
-        )
+        self._train_step = self._make_jit_step()
 
         # epoch accumulators
         self.mloss = np.zeros(4)
@@ -230,6 +223,32 @@ class YoloTrainer(AbstractTrainer):
         self.class_weights = labels_to_class_weights(dataset.labels, model.nc)
 
     # ------------------------------------------------------------------
+    def _make_jit_step(self):
+        """Jit the train step over the mesh.
+
+        Single-process: batch dim-0 sharded, targets/mask replicated.
+        Multi-process: targets/mask are also dim-0-sharded global arrays
+        (each host contributes its loader shard via make_global_batch); XLA
+        inserts the gathers the loss needs.
+        """
+        image_dtype = jnp.bfloat16 if self.tcfg.get("half", True) else jnp.float32
+        multi = jax.process_count() > 1
+        rep = replicate(self.mesh)
+        return jax.jit(
+            make_train_step(self.model, self.compute_loss, self.tx, image_dtype=image_dtype),
+            in_shardings=(
+                rep,
+                batch_sharding(self.mesh, 4),
+                batch_sharding(self.mesh, 2) if multi else rep,
+                batch_sharding(self.mesh, 1) if multi else rep,
+            ),
+            out_shardings=(rep, rep),
+            # donating state buffers deadlocks XLA:CPU collectives (virtual
+            # test meshes) and errors on tunneled TPU backends — opt in via
+            # train.donate_state on directly-attached hardware for HBM reuse
+            donate_argnums=(0,) if self.tcfg.get("donate_state", False) else (),
+        )
+
     def _head_stride_anchors(self) -> np.ndarray:
         from ayolov2_tpu.models.yolo_head import YOLOHead
 
@@ -284,19 +303,8 @@ class YoloTrainer(AbstractTrainer):
                     self.model_cfg_dict["anchors"] = [
                         [float(v) for v in level.reshape(-1)] for level in anchors
                     ]
-                image_dtype = jnp.bfloat16 if self.tcfg.get("half", True) else jnp.float32
-                self._train_step = jax.jit(
-                    make_train_step(self.model, self.compute_loss, self.tx, image_dtype=image_dtype),
-                    in_shardings=(
-                        replicate(self.mesh),
-                        batch_sharding(self.mesh, 4),
-                        replicate(self.mesh),
-                        replicate(self.mesh),
-                    ),
-                    out_shardings=(replicate(self.mesh), replicate(self.mesh)),
-                    donate_argnums=(0,) if self.tcfg.get("donate_state", False) else (),
-                )
-        if self.tcfg.get("plot", True):
+                self._train_step = self._make_jit_step()
+        if self.tcfg.get("plot", True) and is_main_process():
             # label histogram + first-batch mosaics (plot_utils.py:79-237)
             from ayolov2_tpu.utils.plots import plot_label_histogram
 
@@ -327,7 +335,7 @@ class YoloTrainer(AbstractTrainer):
 
     def training_step(self, batch, batch_idx: int) -> Dict[str, float]:
         images = batch.images
-        if self.current_epoch == 0 and batch_idx < 3 and self.tcfg.get("plot", True):
+        if self.current_epoch == 0 and batch_idx < 3 and self.tcfg.get("plot", True) and is_main_process():
             from ayolov2_tpu.utils.plots import plot_images
 
             try:
@@ -339,11 +347,12 @@ class YoloTrainer(AbstractTrainer):
                 LOGGER.warning("batch mosaic plot failed: %s", e)
         if self.multi_scale:
             images = self._random_resize(images, batch_idx)
+        images, targets, mask = make_global_batch(self.mesh, images, batch.targets, batch.target_mask)
         self.state, items = self._train_step(
             self.state,
-            jnp.asarray(images),
-            jnp.asarray(batch.targets),
-            jnp.asarray(batch.target_mask),
+            images if jax.process_count() > 1 else jnp.asarray(images),
+            targets if jax.process_count() > 1 else jnp.asarray(targets),
+            mask if jax.process_count() > 1 else jnp.asarray(mask),
         )
         self.n_steps += 1
         if batch_idx % 50 == 0:
@@ -379,6 +388,20 @@ class YoloTrainer(AbstractTrainer):
         )
 
     def validation(self) -> None:
+        # host-0-only val/ckpt (yolo_trainer.py:394 rank gating); the stop
+        # decision is then all-reduced so every host leaves the epoch loop
+        # together (the reference's dist.broadcast analogue)
+        if jax.process_count() > 1:
+            if not is_main_process():
+                if host_broadcast_max(self.mesh, 0.0) > 0:
+                    self.is_early_stop = True
+                return
+            self._validation_main()
+            host_broadcast_max(self.mesh, 1.0 if self.is_early_stop else 0.0)
+            return
+        self._validation_main()
+
+    def _validation_main(self) -> None:
         if self.val_loader is None:
             self._save_weights(self.current_epoch, "last.ckpt")
             return
@@ -391,6 +414,9 @@ class YoloTrainer(AbstractTrainer):
         from ayolov2_tpu.eval import YoloValidator
 
         variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        if jax.process_count() > 1:
+            # replicated global arrays -> host-local for the validator's jit
+            variables = jax.device_get(variables)
         if getattr(self, "_validator", None) is None:
             # one validator for the whole run — rebuilding per epoch would
             # retrace/recompile the forward every validation
@@ -440,7 +466,8 @@ class YoloTrainer(AbstractTrainer):
         )
 
     def on_train_end(self) -> None:
-        self._save_weights(self.current_epoch, "last.ckpt")
+        if is_main_process():
+            self._save_weights(self.current_epoch, "last.ckpt")
         LOGGER.info("Training done. best mAP50 = %.4f; weights in %s", self.best_score, self.wdir)
 
 

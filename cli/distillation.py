@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ayolov2_tpu.data import DataLoader, DetectionDataset
 from ayolov2_tpu.models import build_model, fuse_params, init_model
+from ayolov2_tpu.parallel import initialize_distributed, is_main_process
 from ayolov2_tpu.models.builder import parse_model_config
 from ayolov2_tpu.train.kd_trainer import SoftTeacherTrainer
 from ayolov2_tpu.utils.checkpoint import load_variables
@@ -59,6 +60,7 @@ def main() -> None:
     data_cfg = load_yaml(args.data)
     tcfg = cfg["train"]
     nc = int(data_cfg["nc"])
+    initialize_distributed()
 
     # teacher: fused eval graph from its checkpoint
     t_vars, t_meta = load_variables(args.teacher, prefer_ema=True)
@@ -84,14 +86,28 @@ def main() -> None:
         **common,
     )
     unlabeled = DetectionDataset(args.unlabeled_path or data_cfg["train_path"], **common)
-    labeled_loader = DataLoader(labeled, batch_size=int(tcfg["batch_size"]), shuffle=True, drop_last=True)
-    unlabeled_loader = DataLoader(unlabeled, batch_size=int(tcfg["batch_size"]), shuffle=True, drop_last=True)
+    shard = (jax.process_index(), jax.process_count())
+    labeled_loader = DataLoader(labeled, batch_size=int(tcfg["batch_size"]), shuffle=True,
+                                drop_last=True, shard=shard)
+    unlabeled_loader = DataLoader(unlabeled, batch_size=int(tcfg["batch_size"]), shuffle=True,
+                                  drop_last=True, shard=shard)
+
+    # epoch validation -> best.ckpt by mAP50 (reference kd_trainer.py:276-309)
+    val_loader = None
+    if data_cfg.get("val_path") and is_main_process():
+        val_ds = DetectionDataset(
+            data_cfg["val_path"], img_size=img_size, batch_size=int(tcfg["batch_size"]),
+            stride=int(max(student.stride)), n_skip=int(tcfg.get("n_skip", 0)),
+            label_type=tcfg.get("label_type", "labels"),
+        )
+        val_loader = DataLoader(val_ds, batch_size=int(tcfg["batch_size"]), shuffle=False)
 
     log_dir = make_run_dir(args.log_dir, "distill")
     trainer = SoftTeacherTrainer(
         student, {"params": s_vars["params"], "batch_stats": s_vars.get("batch_stats", {})},
-        teacher, t_vars, cfg, labeled_loader, unlabeled_loader,
+        teacher, t_vars, cfg, labeled_loader, unlabeled_loader, val_loader=val_loader,
         log_dir=str(log_dir), model_cfg_dict=model_cfg,
+        class_names=data_cfg.get("names"),
     )
     trainer.train()
 

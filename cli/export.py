@@ -93,6 +93,7 @@ def main() -> None:
         include_nms=args.type == "tpu_nms",
         half=not args.no_half,
         platforms=platforms,
+        decompose_map=json.loads(meta["decompose_map"]) if meta.get("decompose_map") else (),
     )
 
     if not args.no_dry_run:

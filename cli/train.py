@@ -32,6 +32,7 @@ import numpy as np
 
 from ayolov2_tpu.data import DataLoader, DetectionDataset
 from ayolov2_tpu.models import build_model, init_model
+from ayolov2_tpu.parallel import initialize_distributed, is_main_process
 from ayolov2_tpu.models.builder import parse_model_config
 from ayolov2_tpu.train.trainer import YoloTrainer
 from ayolov2_tpu.utils.checkpoint import intersect_trees, load_variables
@@ -63,13 +64,19 @@ def main() -> None:
     data_cfg = load_yaml(args.data)
     tcfg = cfg["train"]
 
+    # multi-host bootstrap (ddp_init parity) — must run before any mesh use;
+    # AYOLO_NUM_PROCS/AYOLO_PROC_ID/AYOLO_COORDINATOR drive explicit clusters
+    initialize_distributed()
+    shard = (jax.process_index(), jax.process_count())
+
     log_dir = make_run_dir(args.log_dir, "train")
-    snapshot_configs(
-        log_dir,
-        merged={"cfg": cfg, "data": data_cfg},
-        files={"model": args.model, "data": args.data, "cfg": args.cfg},
-    )
-    LOGGER.info("Run dir: %s", log_dir)
+    if is_main_process():
+        snapshot_configs(
+            log_dir,
+            merged={"cfg": cfg, "data": data_cfg},
+            files={"model": args.model, "data": args.data, "cfg": args.cfg},
+        )
+    LOGGER.info("Run dir: %s (host %d/%d)", log_dir, shard[0], shard[1])
 
     nc = 1 if tcfg.get("single_cls") else int(data_cfg["nc"])
     names = data_cfg.get("names") or [str(i) for i in range(nc)]
@@ -112,9 +119,12 @@ def main() -> None:
         drop_last=True,
         workers=int(tcfg.get("workers", 4)),
         max_labels_per_image=int(tcfg.get("max_labels_per_image", 64)),
+        # per-host input sharding (DistributedSampler analogue,
+        # data_loader_utils.py:67,101-103): each host loads 1/N of every batch
+        shard=shard,
     )
     val_loader = None
-    if data_cfg.get("val_path"):
+    if data_cfg.get("val_path") and is_main_process():
         val_dataset = DetectionDataset(
             data_cfg["val_path"], rect=True, pad=0.5, **common
         )
@@ -156,7 +166,7 @@ def main() -> None:
         trainer.resume(args.resume)
 
     wandb_run = None
-    if args.wlog:
+    if args.wlog and is_main_process():
         try:
             import wandb  # noqa: F401 — optional, not in the base image
 
@@ -166,12 +176,13 @@ def main() -> None:
 
     trainer.train()
 
-    metrics_path = Path(log_dir) / "metrics.json"
-    metrics_path.write_text(json.dumps({k: v for k, v in trainer.state_dict.items() if not isinstance(v, np.ndarray)}, indent=2, default=float))
-    if wandb_run is not None:
-        wandb_run.log(trainer.state_dict)
-        wandb_run.finish()
-    LOGGER.info("Metrics written to %s", metrics_path)
+    if is_main_process():
+        metrics_path = Path(log_dir) / "metrics.json"
+        metrics_path.write_text(json.dumps({k: v for k, v in trainer.state_dict.items() if not isinstance(v, np.ndarray)}, indent=2, default=float))
+        if wandb_run is not None:
+            wandb_run.log(trainer.state_dict)
+            wandb_run.finish()
+        LOGGER.info("Metrics written to %s", metrics_path)
 
 
 if __name__ == "__main__":

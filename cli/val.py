@@ -148,13 +148,18 @@ def main() -> dict:
         if not model_cfg and meta.get("model_cfg"):
             model_cfg = json.loads(meta["model_cfg"])
     assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"
+    # Tucker-decomposed ckpts carry their conv->(first,core,last) layer map
+    # (decompose_model.py writes it); rebuild the same decomposed graph.
+    decompose_map = json.loads(meta["decompose_map"]) if meta.get("decompose_map") else ()
 
     dtype = jnp.float32 if args.no_half else jnp.bfloat16
     fuse = not args.no_fuse
-    model = build_model(model_cfg, dtype=dtype, fused=fuse, nc=None if args.single_cls else nc)
+    model = build_model(model_cfg, dtype=dtype, fused=fuse, nc=None if args.single_cls else nc,
+                        decompose_map=decompose_map)
     if not variables["params"]:
         LOGGER.warning("no weights given: validating a randomly initialized model")
-        unfused = build_model(model_cfg, dtype=dtype, nc=None if args.single_cls else nc)
+        unfused = build_model(model_cfg, dtype=dtype, nc=None if args.single_cls else nc,
+                              decompose_map=decompose_map)
         variables = unfused.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.uint8), training=False
         )

@@ -83,16 +83,19 @@ def main() -> dict:
 
     model_cfg = args.model_cfg
     variables = None
+    decompose_map = ()
     if args.weights:
         variables, meta = load_variables(args.weights, prefer_ema=True)
         if not model_cfg and meta.get("model_cfg"):
             model_cfg = json.loads(meta["model_cfg"])
+        if meta.get("decompose_map"):
+            decompose_map = json.loads(meta["decompose_map"])
     assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"
 
-    model = build_model(model_cfg, dtype=dtype, fused=True, nc=nc)
+    model = build_model(model_cfg, dtype=dtype, fused=True, nc=nc, decompose_map=decompose_map)
     if variables is None:
         LOGGER.warning("no weights: random init")
-        unfused = build_model(model_cfg, dtype=dtype, nc=nc)
+        unfused = build_model(model_cfg, dtype=dtype, nc=nc, decompose_map=decompose_map)
         variables = unfused.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.uint8), training=False)
     variables = fuse_params(variables)
     t.add("model")
@@ -135,15 +138,16 @@ def main() -> dict:
         # device+host trace of the hot loop (TimeChecker's device-level
         # counterpart; view with tensorboard/xprof)
         jax.profiler.start_trace(args.trace_dir)
-    for images, metas, indices in loader:
-        bs, h, w = images.shape[:3]
+    for images, metas, indices, n_real in loader:
+        h, w = images.shape[1:3]
         t0 = time.perf_counter()
         det, n_valid = serve(jnp.asarray(images))
         det.block_until_ready()
         t_infer += time.perf_counter() - t0
+        # metas/indices are pre-truncated to the real (unpadded) items
         paths = [dataset.img_files[i] for i in indices]
-        writer.add_outputs(paths, np.asarray(det), np.asarray(n_valid), (h, w), metas)
-        seen += bs
+        writer.add_outputs(paths, np.asarray(det)[:n_real], np.asarray(n_valid)[:n_real], (h, w), metas)
+        seen += n_real
     if args.trace_dir:
         jax.profiler.stop_trace()
         LOGGER.info("profiler trace written to %s", args.trace_dir)

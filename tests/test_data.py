@@ -140,3 +140,36 @@ def test_dataloader_deterministic_with_seed():
     paths1 = [b.paths for b in DataLoader(ds, batch_size=4, shuffle=True, seed=7)]
     paths2 = [b.paths for b in DataLoader(ds, batch_size=4, shuffle=True, seed=7)]
     assert paths1 == paths2
+
+
+def test_dataloader_multiworker_matches_single():
+    """VERDICT r1: multi-worker loader — same batches, same order, regardless
+    of worker count (ordered reassembly + per-item RNG)."""
+    ds = DetectionDataset(
+        VOC_TRAIN, img_size=320, batch_size=4,
+        yolo_augmentation={"augment": True, "mosaic": 1.0, "hsv_h": 0.015,
+                           "hsv_s": 0.7, "hsv_v": 0.4, "translate": 0.1, "scale": 0.5},
+    )
+    out = {}
+    for workers in (1, 4):
+        ds.epoch = 0
+        dl = DataLoader(ds, batch_size=4, shuffle=True, seed=3, workers=workers)
+        out[workers] = [(b.paths, b.images.copy(), b.targets.copy()) for b in dl]
+    assert len(out[1]) == len(out[4]) > 0
+    for (p1, i1, t1), (p4, i4, t4) in zip(out[1], out[4]):
+        assert p1 == p4
+        np.testing.assert_array_equal(i1, i4)
+        np.testing.assert_array_equal(t1, t4)
+
+
+def test_dataloader_final_batch_n_real():
+    """Padded final batch keeps static shapes but reports the true count."""
+    ds = DetectionDataset(VOC_TRAIN, img_size=320, batch_size=3)
+    n = len(ds)
+    dl = DataLoader(ds, batch_size=3, shuffle=False)
+    batches = list(dl)
+    assert sum(b.n_real for b in batches) == n
+    last = batches[-1]
+    assert last.images.shape[0] == 3  # still padded to full batch
+    if n % 3:
+        assert last.n_real == n % 3

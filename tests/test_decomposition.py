@@ -119,6 +119,48 @@ def test_decompose_yolov5s_end_to_end():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_decomposed_ckpt_roundtrip(tmp_path):
+    """ADVICE r1: val/val2/export must rebuild the decomposed graph from the
+    ckpt's meta['decompose_map'] — simulate the save (cli/decompose_model.py)
+    and reload (cli/val.py) paths end to end."""
+    import json
+
+    from flax import serialization
+
+    from ayolov2_tpu.utils.checkpoint import load_variables
+
+    cfg = "res/configs/model/yolov5s.yaml"
+    model = build_model(cfg, dtype=jnp.float32, nc=20)
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    _plant_low_rank(variables["params"], ["model_1"])
+    dmap, new_params, _ = decompose_model(
+        variables["params"], loss_thr=0.05, prune_step=0.0, n_test=64
+    )
+    assert dmap
+
+    from ayolov2_tpu.models.builder import parse_model_config
+
+    payload = {
+        "meta": {
+            "model_cfg": json.dumps(parse_model_config(cfg)),
+            "decompose_map": json.dumps(dmap),
+        },
+        "model": {"params": new_params, "batch_stats": variables["batch_stats"]},
+        "ema": {"params": new_params, "batch_stats": variables["batch_stats"]},
+    }
+    path = tmp_path / "decomposed.ckpt"
+    path.write_bytes(serialization.msgpack_serialize(payload))
+
+    loaded, meta = load_variables(str(path), prefer_ema=True)
+    decompose_map = json.loads(meta["decompose_map"])
+    assert {k: tuple(v) for k, v in decompose_map.items()} == {k: tuple(v) for k, v in dmap.items()}
+    dmodel = build_model(json.loads(meta["model_cfg"]), dtype=jnp.float32, nc=20,
+                         decompose_map=decompose_map)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out, _ = dmodel.apply(loaded, x, training=False)  # param structure matches
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_decomposed_conv_math_matches_conv():
     """The 3-conv stack computes the same function as conv with the
     reconstructed kernel (numerical identity of the Tucker factorization)."""

@@ -58,13 +58,20 @@ def test_soft_teacher_one_epoch(tmp_path):
     labeled_loader = DataLoader(labeled, batch_size=4, shuffle=True, drop_last=True)
     unlabeled_loader = DataLoader(unlabeled, batch_size=4, shuffle=True, drop_last=True)
 
+    val_loader = DataLoader(DetectionDataset(VOC_TRAIN, **common), batch_size=4)
+
     trainer = SoftTeacherTrainer(
         student, {"params": s_vars["params"], "batch_stats": s_vars.get("batch_stats", {})},
-        teacher, t_vars, cfg, labeled_loader, unlabeled_loader, log_dir=str(tmp_path),
+        teacher, t_vars, cfg, labeled_loader, unlabeled_loader, val_loader=val_loader,
+        log_dir=str(tmp_path), n_devices=4,
     )
     trainer.train()
     assert np.isfinite(trainer.last_items).all()
     assert (tmp_path / "weights" / "last.ckpt").exists()
+    # val ran -> best ckpt by mAP50 exists and the state advanced with EMA
+    assert (tmp_path / "weights" / "best.ckpt").exists()
+    assert int(trainer.state.step) == len(labeled_loader)
+    assert int(trainer.state.ema_updates) == len(labeled_loader)
 
 
 def test_pseudo_label_filtering():

@@ -55,6 +55,72 @@ def test_group_schedules_warmup():
     assert last == pytest.approx(0.01 * 0.1, rel=1e-6)
 
 
+def test_warmup_ramp_matches_reference_interp():
+    """Numeric parity of the lr/momentum warmup vs the reference's np.interp
+    ramp (yolo_trainer.py:194-221 == kd_trainer.py:548-576): bias lr falls
+    from warmup_bias_lr, others rise from 0, momentum rises from
+    warmup_momentum; all reach lr0*lf(epoch) / momentum at ni == nw."""
+    import math
+
+    lr0, lrf, epochs, spe = 0.01, 0.1, 20, 400
+    wu_e, wu_bias, wu_mom, mom = 3.0, 0.1, 0.8, 0.937
+    lr_fn, mom_fn = make_group_schedules(
+        lr0=lr0, lrf=lrf, epochs=epochs, steps_per_epoch=spe,
+        warmup_epochs=wu_e, warmup_bias_lr=wu_bias, warmup_momentum=wu_mom, momentum=mom,
+    )
+    nw = max(round(wu_e * spe), 1000)
+
+    def lf(e):
+        return ((1 + math.cos(e * math.pi / epochs)) / 2) * (1 - lrf) + lrf
+
+    for ni in (0, 17, nw // 2, nw - 1, nw, nw + 100):
+        epoch = ni // spe
+        for group, start in (("weight", 0.0), ("bn_scale", 0.0), ("bias", wu_bias)):
+            want = float(np.interp(ni, [0, nw], [start, lr0 * lf(epoch)])) if ni < nw else lr0 * lf(epoch)
+            got = float(lr_fn(jnp.asarray(float(ni)), group))
+            assert got == pytest.approx(want, rel=1e-5, abs=1e-9), (ni, group, got, want)
+        want_m = float(np.interp(ni, [0, nw], [wu_mom, mom])) if ni < nw else mom
+        assert float(mom_fn(jnp.asarray(float(ni)))) == pytest.approx(want_m, rel=1e-6)
+
+
+def test_accumulate_schedule_units():
+    """ADVICE r1: with MultiSteps(every_k=accumulate) the schedule counter
+    ticks once per `accumulate` micro-batches; build_optimizer must convert
+    steps_per_epoch (micro-batch units) to update units, or cosine decay
+    runs ~accumulate^2 too slow (reference ramp: yolo_trainer.py:124-137)."""
+    import math
+
+    params = {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros((3,))}}
+    hyp = {
+        "optimizer_params": {"lr": 0.01, "momentum": 0.0, "nesterov": False},
+        "lrf": 0.1, "weight_decay": 0.0, "warmup_epochs": 0.0,
+        "warmup_min_iters": 1,
+    }
+    epochs, spe, accumulate = 4, 8, 4  # 8 micro-batches/epoch -> 2 updates/epoch
+    tx = build_optimizer(params, hyp, epochs=epochs, steps_per_epoch=spe,
+                         batch_size=16, accumulate=accumulate)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    lrs = []  # observed |update| on kernel at each emitted optimizer update
+    for m in range(epochs * spe):
+        upd, state = tx.update(grads, state, params)
+        mag = float(jnp.abs(upd["dense"]["kernel"]).max())
+        if (m + 1) % accumulate == 0:
+            lrs.append(mag)
+        else:
+            assert mag == 0.0  # MultiSteps accumulates, no update mid-window
+    assert len(lrs) == epochs * spe // accumulate
+
+    upd_per_epoch = spe // accumulate
+    for s, lr in enumerate(lrs):
+        if s == 0:
+            continue  # inside the 1-step warmup ramp
+        e = s // upd_per_epoch
+        lf = ((1.0 + math.cos(e * math.pi / epochs)) / 2.0) * (1.0 - 0.1) + 0.1
+        assert lr == pytest.approx(0.01 * lf, rel=1e-4), (s, e, lr)
+
+
 def test_ema_rate_ramps():
     ema = EMA(decay=0.9999, tau=2000.0)
     assert float(ema.rate(jnp.asarray(1))) < 0.001

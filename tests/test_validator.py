@@ -72,6 +72,27 @@ def test_validator_full_loop_random_weights():
 
 
 @needs_fixtures
+def test_validator_ragged_final_batch_no_double_count():
+    """VERDICT r1: the padded final batch must not inflate `seen` or the TP
+    stats — mAP identical whether the dataset divides the batch size or not
+    (reference short-last-batch semantics, train_utils.py:403-472)."""
+    model, variables = _tiny_model_and_vars(img=64, nc=20)
+    dataset = DetectionDataset(VOC_VAL, img_size=64, batch_size=4, rect=False, stride=32, n_skip=1)
+    n = len(dataset)
+
+    results = {}
+    for bs in (4, 3):  # one even split, one ragged (padded) final batch
+        loader = DataLoader(dataset, batch_size=bs, shuffle=False)
+        v = YoloValidator(model, variables, loader, cfg={"half": False, "conf_t": 0.25})
+        results[bs] = v.validation(verbose=False)
+
+    for bs, r in results.items():
+        assert r["seen"] == n, (bs, r["seen"], n)
+    for key in ("map50", "map50_95", "mp", "mr"):
+        assert results[4][key] == pytest.approx(results[3][key], abs=1e-9), key
+
+
+@needs_fixtures
 def test_validator_hybrid_label_and_fused():
     model = build_model(MODEL_CFG, dtype=jnp.float32, nc=20, fused=True)
     unfused, variables = _tiny_model_and_vars(img=64, nc=20)
