@@ -5,9 +5,10 @@ n-view batches through a headless backbone+projection graph, RL L1 or
 InfoNCE loss, SGD (RL) or Adam+cosine (SimCLR), best checkpoint by val
 loss (saved as best_eNNN semantics).
 
-TPU-first: one jitted train step over the data mesh; views of one image
-ride the same global batch so the similarity matrix is exact (no
-cross-device feature gather needed at this scale).
+TPU-first: one jitted train step sharded over the data mesh (the
+reference's DataParallel path, train_repr.py:118-119): the view batch is
+split across chips, state replicated; XLA inserts the feature all-gather
+the InfoNCE similarity matrix needs and the gradient all-reduce.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ import numpy as np
 import optax
 
 from ayolov2_tpu.loss.losses_repr import InfoNCELoss, RLLoss
+from ayolov2_tpu.parallel import batch_sharding, get_mesh, replicate
 from ayolov2_tpu.train.trainer import AbstractTrainer
 from ayolov2_tpu.utils.checkpoint import save_checkpoint
 from ayolov2_tpu.utils.logger import get_logger
@@ -61,6 +63,7 @@ class RepresentationLearningTrainer(AbstractTrainer):
         rl_type: str = "base",  # "base" (SimpleRL) | "simclr"
         log_dir: str = "runs/repr/exp",
         model_cfg_dict: Optional[Dict[str, Any]] = None,
+        n_devices: Optional[int] = None,
     ) -> None:
         tcfg = cfg["train"]
         super().__init__(epochs=int(tcfg["epochs"]))
@@ -96,12 +99,26 @@ class RepresentationLearningTrainer(AbstractTrainer):
                 nesterov=bool(opt.get("nesterov", True)),
             )
 
+        # mesh-sharded step (DP parity, train_repr.py:118-119): view batch
+        # split over 'data', state replicated
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+        self.mesh = get_mesh(devices)
+        rep = replicate(self.mesh)
         self.state = _ReprState(
-            variables["params"], variables.get("batch_stats", {}),
-            self.tx.init(variables["params"]),
+            jax.device_put(variables["params"], rep),
+            jax.device_put(variables.get("batch_stats", {}), rep),
+            jax.device_put(self.tx.init(variables["params"]), rep),
         )
-        self._train_step = jax.jit(self._make_step())
-        self._eval_step = jax.jit(self._make_eval())
+        self._train_step = jax.jit(
+            self._make_step(),
+            in_shardings=(rep, rep, rep, batch_sharding(self.mesh, 4)),
+            out_shardings=(rep, rep, rep, rep),
+        )
+        self._eval_step = jax.jit(
+            self._make_eval(),
+            in_shardings=(rep, rep, batch_sharding(self.mesh, 4)),
+            out_shardings=rep,
+        )
         self.last_items = np.zeros(1)
 
     def _make_step(self):

@@ -114,6 +114,41 @@ def process_batch(detections: np.ndarray, labels: np.ndarray, iouv: np.ndarray =
     return correct
 
 
+def check_correct_prediction_by_iou(
+    detections: np.ndarray,
+    labels: np.ndarray,
+    iou_s: float = 0.5,
+    iou_e: float = 0.95,
+    iou_step: float = 0.05,
+) -> np.ndarray:
+    """Correct-prediction matrix over an IoU threshold range.
+
+    Parity: scripts/utils/metrics.py:551-600 — NOTE it dedups matches by
+    detection only (each detection keeps its best label), unlike
+    process_batch which also dedups by label.
+
+    Args:
+        detections: (N, 6) [x1, y1, x2, y2, conf, cls].
+        labels: (M, 5) [cls, x1, y1, x2, y2].
+
+    Returns:
+        (N, T) bool — T = len(arange(iou_s, iou_e + iou_step, iou_step)).
+    """
+    iouv = np.arange(iou_s, iou_e + iou_step, iou_step)
+    correct = np.zeros((detections.shape[0], iouv.shape[0]), dtype=bool)
+    if len(labels) == 0 or len(detections) == 0:
+        return correct
+    iou = box_iou(labels[:, 1:], detections[:, :4])
+    li, di = np.where((iou >= iouv[0]) & (labels[:, 0:1] == detections[:, 5][None]))
+    if len(li):
+        matches = np.stack([li, di, iou[li, di]], 1)
+        matches = matches[matches[:, 2].argsort()[::-1]]
+        matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+        # strict > like the reference (:598 `matches[:, 2:3] > iouv`)
+        correct[matches[:, 1].astype(int)] = matches[:, 2:3] > iouv[None]
+    return correct
+
+
 class ConfusionMatrix:
     """(nc+1, nc+1) confusion matrix with a background row/col."""
 
@@ -178,16 +213,35 @@ class COCOmAPEvaluator:
         "large": (96.0 ** 2, 1e10),
     }
 
-    def __init__(self, gt_path: Union[str, Path, Dict], cat_from_yolo: bool = False) -> None:
+    def __init__(
+        self,
+        gt_path: Union[str, Path, Dict],
+        cat_from_yolo: bool = False,
+        img_root: Optional[str] = None,
+        export_root: Optional[str] = None,
+    ) -> None:
         gt = gt_path if isinstance(gt_path, dict) else json.loads(Path(gt_path).read_text())
         self.cat_ids = [c["id"] for c in gt.get("categories", [])] or COCO_CATEGORY_IDS
+        self.names = [c.get("name", str(c["id"])) for c in gt.get("categories", [])] or [
+            str(c) for c in self.cat_ids
+        ]
+        self.fix_label = {cid: i for i, cid in enumerate(self.cat_ids)}
         self.img_ids = sorted({im["id"] for im in gt["images"]})
         self.cat_from_yolo = cat_from_yolo
+        # debug surfaces (reference metrics.py:610-647): img_root enables the
+        # pred-vs-GT side-by-side renders, export_root is where they (plus
+        # PR curves + confusion matrix) are written
+        self.img_root = img_root
+        self.export_root = export_root
+        if export_root is not None:
+            Path(export_root).mkdir(parents=True, exist_ok=True)
         self.gt_by_key: Dict[Tuple[int, int], List[dict]] = defaultdict(list)
+        self.gt_by_img: Dict[int, List[dict]] = defaultdict(list)
         for ann in gt["annotations"]:
             if ann.get("iscrowd", 0):
                 ann = dict(ann, _crowd=True)
             self.gt_by_key[(ann["image_id"], ann["category_id"])].append(ann)
+            self.gt_by_img[ann["image_id"]].append(ann)
 
     def _fix_cat(self, cid: int) -> int:
         return COCO_CATEGORY_IDS[int(cid)] if self.cat_from_yolo else int(cid)
@@ -277,6 +331,150 @@ class COCOmAPEvaluator:
             "map_medium": _m("medium"),
             "map_large": _m("large"),
         }
+
+
+    # -- reference-style per-class report path (metrics.py:649-880) ---------
+
+    def evaluate_per_class(
+        self, pred_path: Union[str, Path, List[dict]], debug: bool = False
+    ) -> Dict[str, object]:
+        """The reference COCOmAPEvaluator.evaluate semantics: per-image
+        check_correct_prediction_by_iou + ap_per_class rollup with a tabulate
+        report (metrics.py:649-821). Complements :meth:`evaluate`, which
+        implements the true COCOeval protocol."""
+        preds = (
+            pred_path if isinstance(pred_path, list)
+            else json.loads(Path(pred_path).read_text())
+        )
+        pred_by_img: Dict[int, List[dict]] = defaultdict(list)
+        for p in preds:
+            pred_by_img[p["image_id"]].append(p)
+
+        confusion = ConfusionMatrix(nc=len(self.names)) if self.export_root else None
+        corrects = []
+        for img_id in sorted(set(self.img_ids) | set(pred_by_img)):
+            dts = pred_by_img.get(img_id, [])
+            label_pred = np.zeros((0, 6), np.float64)
+            if dts:
+                label_pred = np.array(
+                    [[*d["bbox"], d["score"], self.fix_label.get(self._fix_cat(d["category_id"]), 0)]
+                     for d in dts], np.float64,
+                )
+                label_pred[:, 2:4] += label_pred[:, 0:2]  # xywh -> xyxy
+            gts = self.gt_by_img.get(img_id, [])
+            label_gt = np.zeros((0, 5), np.float64)
+            if gts:
+                label_gt = np.array(
+                    [[self.fix_label.get(g["category_id"], 0), *g["bbox"]] for g in gts],
+                    np.float64,
+                )
+                label_gt[:, 3:5] += label_gt[:, 1:3]
+            correct = check_correct_prediction_by_iou(label_pred, label_gt)
+            corrects.append((correct, label_pred[:, 4], label_pred[:, 5], label_gt[:, 0]))
+            if confusion is not None:
+                confusion.process_batch(label_pred, label_gt)
+            if debug:
+                self._draw_result(img_id, label_pred, label_gt)
+
+        c = [np.concatenate(x, 0) for x in zip(*corrects)]
+        precision, recall, ap, f1, _ = ap_per_class(
+            c[0], c[1], c[2], c[3],
+            plot=self.export_root is not None,
+            save_dir=self.export_root,
+            names=self.names,
+        )
+        if confusion is not None:
+            try:
+                from ayolov2_tpu.utils.plots import plot_confusion_matrix
+
+                plot_confusion_matrix(
+                    confusion.matrix, Path(self.export_root) / "confusion_matrix.png", self.names
+                )
+            except Exception:  # plotting must not kill evaluation
+                pass
+        ap50, ap_mean = ap[:, 0], ap.mean(1)
+        result = {
+            "p": precision,
+            "r": recall,
+            "ap": ap_mean,
+            "ap50": ap50,
+            "f1": f1,
+            "mp": float(precision.mean()),
+            "mr": float(recall.mean()),
+            "map50": float(ap50.mean()),
+            "map50_95": float(ap_mean.mean()),
+            "target_histogram": np.bincount(c[3].astype(np.int64), minlength=len(self.names)),
+            "names": self.names,
+        }
+        self.print_result(result)
+        return result
+
+    @staticmethod
+    def print_result(result: Dict) -> None:
+        """Tabulate report of the per-class result dict (metrics.py:781-821).
+
+        Pads the per-class arrays to the full name list: ap_per_class only
+        emits rows for classes present in GT."""
+        from tabulate import tabulate
+
+        from ayolov2_tpu.utils.logger import get_logger
+
+        names = list(result["names"])
+        n = len(names)
+
+        def full(key):
+            arr = np.asarray(result[key], np.float64)
+            if arr.shape[0] == n:
+                return arr
+            out = np.zeros(n)
+            out[: arr.shape[0]] = arr
+            return out
+
+        by_class = np.stack(
+            (np.asarray(result["target_histogram"], np.float64),
+             full("p"), full("r"), full("f1"), full("ap50"), full("ap")), 1,
+        )
+        by_all = np.array(
+            [float(np.asarray(result["target_histogram"]).sum()), result["mp"],
+             result["mr"], float(np.asarray(result["f1"]).mean()),
+             result["map50"], result["map50_95"]]
+        )
+        contents = np.concatenate(
+            (np.array(names + ["all"])[:, None], np.vstack((by_class, by_all))), 1
+        )
+        get_logger(__name__).info(
+            "\n" + tabulate(
+                contents,
+                headers=["name", "n_targets", "P", "R", "F1", "mAP50", "mAP50:95"],
+                tablefmt="github",
+            )
+        )
+
+    def _draw_result(self, img_id: int, label_pred: np.ndarray, label_gt: np.ndarray) -> None:
+        """Pred-vs-GT side-by-side debug render (metrics.py:823-880)."""
+        if self.img_root is None:
+            return
+        import cv2
+
+        img_path = Path(self.img_root) / f"{img_id:012d}.jpg"
+        if not img_path.is_file():
+            return
+        img = cv2.imread(str(img_path))
+        if img is None:
+            return
+        from ayolov2_tpu.utils.plots import draw_labels
+
+        img_pred = draw_labels(
+            img, np.concatenate((label_pred[:, 5:6], label_pred[:, :4]), 1),
+            self.names, norm_xywh=False,
+        )
+        img_gt = draw_labels(img, label_gt, self.names, norm_xywh=False)
+        divider = np.full((img_gt.shape[0], int(img_gt.shape[1] * 0.03), 3), 127, np.uint8)
+        img_merge = np.concatenate((img_pred, divider, img_gt), 1)
+        if self.export_root is not None:
+            if str(self.export_root) == str(self.img_root):
+                return  # never overwrite source images
+            cv2.imwrite(str(Path(self.export_root) / f"{img_id:012d}.jpg"), img_merge)
 
 
 def _iou_xywh(d: np.ndarray, g: np.ndarray, g_crowd: np.ndarray) -> np.ndarray:

@@ -128,6 +128,11 @@ def validate_exported(args, data_cfg, nc: int, names) -> dict:
 def main() -> dict:
     args = get_parser().parse_args()
     if args.weights:
+        # wandb run-path loading (reference val.py:276-278): a non-local
+        # 'entity/project/run_id' weights arg downloads the run's best ckpt
+        from ayolov2_tpu.utils.wandb_utils import get_ckpt_path
+
+        args.weights = get_ckpt_path(args.weights)
         load_sidecar(args.weights, args)
     if args.img_height < 0:
         args.img_height = args.img_width

@@ -85,6 +85,9 @@ def main() -> dict:
     variables = None
     decompose_map = ()
     if args.weights:
+        from ayolov2_tpu.utils.wandb_utils import get_ckpt_path
+
+        args.weights = get_ckpt_path(args.weights)  # wandb run-path support
         variables, meta = load_variables(args.weights, prefer_ema=True)
         if not model_cfg and meta.get("model_cfg"):
             model_cfg = json.loads(meta["model_cfg"])

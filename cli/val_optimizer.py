@@ -81,16 +81,36 @@ class ObjectiveValidator:
         self.space = space
         self.args = args
         self.model_params = count_params(variables["params"])
-        # baseline run at default params defines the normalizers
-        t0 = time.monotonic()
-        base = self._validate(640, 0.001, 0.65)
-        self.baseline_t = time.monotonic() - t0
+        self._warmed: set = set()
+        # Baseline run at default params defines the normalizers. NOTE the
+        # alpha (param-ratio) term is degenerate here by construction — the
+        # trial model IS the baseline model, so base_params/params == 1.0
+        # always; it matters only when comparing different checkpoints
+        # offline (the reference normalizes against a wandb yolov5x run,
+        # objective_validator.py:65-68).
+        base, self.baseline_t = self._timed_validate(640, 0.001, 0.65)
         self.baseline_map50 = max(base["map50"], 1e-9)
         self.baseline_params = self.model_params
         self.base_map50_floor = (
             args.base_map50 if args.base_map50 >= 0 else self.baseline_map50
         )
-        LOGGER.info("baseline: mAP50 %.4f in %.1fs", self.baseline_map50, self.baseline_t)
+        LOGGER.info("baseline: mAP50 %.4f in %.1fs (compile excluded)",
+                    self.baseline_map50, self.baseline_t)
+
+    def _timed_validate(self, img_width: int, conf_t: float, iou_t: float):
+        """Validate with compilation excluded from the timing: the first run
+        of a (width, conf, iou) triple is an untimed warm-up pass (XLA
+        compiles per shape and per NMS thresholds), the timed pass then hits
+        the jit cache. Reference-parity hole closed: the reference times its
+        baseline cold (objective_validator.py:150-165 semantics preserved,
+        timing hygiene added)."""
+        key = (img_width, round(conf_t, 6), round(iou_t, 6))
+        if key not in self._warmed:
+            self._validate(img_width, conf_t, iou_t)
+            self._warmed.add(key)
+        t0 = time.monotonic()
+        result = self._validate(img_width, conf_t, iou_t)
+        return result, time.monotonic() - t0
 
     def _validate(self, img_width: int, conf_t: float, iou_t: float) -> dict:
         model = build_model(self.model_cfg, dtype=jnp.bfloat16, fused=True,
@@ -121,9 +141,7 @@ class ObjectiveValidator:
         conf = trial.suggest_float("conf_thr", self.space["conf_thr"]["low"], self.space["conf_thr"]["high"])
         iou = trial.suggest_float("iou_thr", self.space["iou_thr"]["low"], self.space["iou_thr"]["high"])
 
-        t0 = time.monotonic()
-        result = self._validate(img_width, conf, iou)
-        dt = time.monotonic() - t0
+        result, dt = self._timed_validate(img_width, conf, iou)
         map50 = result["map50"]
         trial.set_user_attr("map50", map50)
         trial.set_user_attr("time_s", dt)

@@ -156,3 +156,77 @@ def test_coco_evaluator_crowd_ignored():
     ]
     res = ev.evaluate(preds)
     assert res["map50"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_check_correct_prediction_by_iou_matches_reference():
+    """Parity vs scripts/utils/metrics.py:551-600 (det-only dedup, strict >)."""
+    import sys
+    from pathlib import Path
+
+    if not Path("/root/reference").exists():
+        import pytest
+
+        pytest.skip("reference unavailable")
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.ops = types.ModuleType("torchvision.ops")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv.ops
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+
+        from scripts.utils.metrics import (
+            check_correct_prediction_by_iou as ref_fn,
+        )
+    finally:
+        sys.path.remove("/root/reference")
+    from ayolov2_tpu.utils.metrics import check_correct_prediction_by_iou
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        n, m = rng.integers(1, 12), rng.integers(1, 8)
+        det = np.zeros((n, 6), np.float32)
+        xy = rng.uniform(0, 80, (n, 2))
+        det[:, :2] = xy
+        det[:, 2:4] = xy + rng.uniform(5, 30, (n, 2))
+        det[:, 4] = rng.uniform(size=n)
+        det[:, 5] = rng.integers(0, 3, n)
+        lab = np.zeros((m, 5), np.float32)
+        lxy = rng.uniform(0, 80, (m, 2))
+        lab[:, 0] = rng.integers(0, 3, m)
+        lab[:, 1:3] = lxy
+        lab[:, 3:5] = lxy + rng.uniform(5, 30, (m, 2))
+
+        ours = check_correct_prediction_by_iou(det, lab)
+        ref = ref_fn(torch.from_numpy(det), torch.from_numpy(lab)).numpy()
+        np.testing.assert_array_equal(ours, ref.astype(bool))
+
+
+def test_coco_evaluator_per_class_report(tmp_path):
+    """evaluate_per_class: per-class rollup + tabulate report + debug render
+    (reference metrics.py:649-880)."""
+    import cv2
+
+    img_root = tmp_path / "imgs"
+    export_root = tmp_path / "export"
+    img_root.mkdir()
+    for img_id in (1, 2):
+        cv2.imwrite(str(img_root / f"{img_id:012d}.jpg"), np.full((100, 100, 3), 200, np.uint8))
+
+    ev = COCOmAPEvaluator(_mini_gt(), img_root=str(img_root), export_root=str(export_root))
+    preds = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 3, "bbox": [50, 50, 30, 30], "score": 0.8},
+        {"image_id": 2, "category_id": 1, "bbox": [0, 0, 40, 40], "score": 0.95},
+    ]
+    res = ev.evaluate_per_class(preds, debug=True)
+    assert res["map50"] == pytest.approx(1.0, abs=0.01)
+    assert res["mp"] == pytest.approx(1.0, abs=0.01)
+    assert list(res["target_histogram"]) == [2, 1]
+    # debug renders written (side-by-side pred|GT)
+    assert (export_root / f"{1:012d}.jpg").exists()
+    assert (export_root / f"{2:012d}.jpg").exists()
+    assert (export_root / "confusion_matrix.png").exists()

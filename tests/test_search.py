@@ -57,3 +57,23 @@ def test_minimize_direction():
     study = create_study(direction="minimize", sampler_seed=0)
     study.optimize(lambda t: (t.suggest_float("x", -5, 5) - 1.0) ** 2, n_trials=60)
     assert study.best_value < 1.0
+
+
+def test_val_optimizer_timed_validate_warms_once():
+    """VERDICT r1: trial/baseline timings must exclude compilation — the
+    first run of a param triple is an untimed warm-up, repeats hit the
+    cache and are timed directly."""
+    from cli.val_optimizer import ObjectiveValidator
+
+    calls = []
+
+    obj = ObjectiveValidator.__new__(ObjectiveValidator)
+    obj._warmed = set()
+    obj._validate = lambda w, c, i: (calls.append((w, c, i)) or {"map50": 0.5})
+
+    obj._timed_validate(640, 0.1, 0.5)
+    assert len(calls) == 2  # warm-up + timed
+    obj._timed_validate(640, 0.1, 0.5)
+    assert len(calls) == 3  # cached: timed only
+    obj._timed_validate(512, 0.1, 0.5)
+    assert len(calls) == 5  # new width: warm-up again
