@@ -152,9 +152,22 @@ def export_serving(
         "jaxexp": str(out.with_suffix(".jaxexp")),
         "stablehlo": str(out.with_suffix(".stablehlo")),
         "yaml": str(out.with_suffix(".yaml")),
+        "compile_options": str(out.with_suffix(".compile_options.pb")),
     }
     Path(paths["jaxexp"]).write_bytes(exported.serialize())
     Path(paths["stablehlo"]).write_bytes(exported.mlir_module_serialized)
+    # serialized CompileOptionsProto (num_replicas=1) for the C++ PJRT
+    # runner: libtpu-AOT compile paths reject an empty options proto
+    try:
+        from jaxlib.xla_client import CompileOptions
+
+        copts = CompileOptions()
+        copts.executable_build_options.num_replicas = 1
+        copts.executable_build_options.num_partitions = 1
+        Path(paths["compile_options"]).write_bytes(copts.SerializeAsString())
+    except Exception as e:  # non-fatal: runner can take --compile-options
+        LOGGER.warning("compile_options sidecar not written: %s", e)
+        paths.pop("compile_options")
     sidecar = {
         # val-time overrides (export.py:189-190 contract)
         "batch_size": batch_size,

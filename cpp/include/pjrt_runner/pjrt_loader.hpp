@@ -27,17 +27,35 @@ struct HostTensor {
   size_t size_bytes = 0;
 };
 
+/// One client-create option (PJRT_NamedValue): plugins like libtpu work
+/// with none; proxy plugins (e.g. a remote-TPU terminal) require options
+/// such as topology/session ids. Ints and strings cover the PJRT surface
+/// actually used by the plugins we target.
+struct ClientOption {
+  std::string name;
+  bool is_int = false;
+  int64_t int_value = 0;
+  std::string str_value;
+};
+
 class PjrtLoader {
  public:
   /// dlopen the plugin and create a client.
-  explicit PjrtLoader(const std::string& plugin_path);
+  explicit PjrtLoader(const std::string& plugin_path,
+                      const std::vector<ClientOption>& options = {});
   ~PjrtLoader();
 
   PjrtLoader(const PjrtLoader&) = delete;
   PjrtLoader& operator=(const PjrtLoader&) = delete;
 
   /// Compile a StableHLO (MLIR bytecode) program.
-  void Compile(const std::string& stablehlo_path);
+  ///
+  /// ``compile_options_path``: optional serialized xla CompileOptionsProto
+  /// (written next to the artifact by ayolov2_tpu.export). Some plugins
+  /// accept an empty proto and default to 1 replica; libtpu-AOT paths
+  /// require the explicit num_replicas=1, so pass it when available.
+  void Compile(const std::string& stablehlo_path,
+               const std::string& compile_options_path = "");
 
   /// Number of outputs of the compiled program.
   size_t NumOutputs() const { return num_outputs_; }

@@ -11,6 +11,7 @@
 
 #include <chrono>
 #include <cstring>
+#include <fstream>
 #include <iostream>
 #include <string>
 #include <vector>
@@ -27,7 +28,34 @@ struct Options {
   int64_t width = 640;
   int iters = 137;  // torchscript_runner main.cpp benchmark length
   int warmup = 3;
+  std::string compile_options;  // serialized CompileOptionsProto path
+  std::string input;            // raw uint8 NHWC input file (else fill 114)
+  std::string dump_output;      // prefix: write <prefix>.outN.bin per output
+  std::vector<pjrt_runner::ClientOption> client_options;
 };
+
+// "--opt name=value": integer values become kInt64, everything else kString.
+pjrt_runner::ClientOption ParseClientOption(const std::string& kv) {
+  pjrt_runner::ClientOption o;
+  auto eq = kv.find('=');
+  if (eq == std::string::npos) {
+    throw std::runtime_error("--opt expects name=value, got: " + kv);
+  }
+  o.name = kv.substr(0, eq);
+  std::string value = kv.substr(eq + 1);
+  try {
+    size_t used = 0;
+    int64_t iv = std::stoll(value, &used);
+    if (used == value.size()) {
+      o.is_int = true;
+      o.int_value = iv;
+      return o;
+    }
+  } catch (const std::exception&) {
+  }
+  o.str_value = value;
+  return o;
+}
 
 bool ParseArgs(int argc, char** argv, Options* opt) {
   for (int i = 1; i < argc; ++i) {
@@ -54,6 +82,22 @@ bool ParseArgs(int argc, char** argv, Options* opt) {
       opt->iters = std::stoi(next());
     } else if (a == "--warmup") {
       opt->warmup = std::stoi(next());
+    } else if (a == "--opt") {
+      const char* v = next();
+      if (!v) return false;
+      opt->client_options.push_back(ParseClientOption(v));
+    } else if (a == "--compile-options") {
+      const char* v = next();
+      if (!v) return false;
+      opt->compile_options = v;
+    } else if (a == "--input") {
+      const char* v = next();
+      if (!v) return false;
+      opt->input = v;
+    } else if (a == "--dump-output") {
+      const char* v = next();
+      if (!v) return false;
+      opt->dump_output = v;
     } else {
       std::cerr << "unknown arg: " << a << "\n";
       return false;
@@ -74,17 +118,40 @@ int main(int argc, char** argv) {
   }
 
   try {
-    pjrt_runner::PjrtLoader loader(opt.plugin);
+    pjrt_runner::PjrtLoader loader(opt.plugin, opt.client_options);
     std::cout << "platform: " << loader.platform() << "\n";
-    loader.Compile(opt.program);
+    loader.Compile(opt.program, opt.compile_options);
     std::cout << "compiled " << opt.program << " (" << loader.NumOutputs()
               << " outputs)\n";
 
     const std::vector<int64_t> dims = {opt.batch, opt.height, opt.width, 3};
     std::vector<uint8_t> image(opt.batch * opt.height * opt.width * 3, 114);
+    if (!opt.input.empty()) {
+      std::ifstream f(opt.input, std::ios::binary);
+      if (!f) throw std::runtime_error("cannot open --input " + opt.input);
+      f.read(reinterpret_cast<char*>(image.data()),
+             static_cast<std::streamsize>(image.size()));
+      if (f.gcount() != static_cast<std::streamsize>(image.size())) {
+        throw std::runtime_error("--input smaller than batch*h*w*3 bytes");
+      }
+    }
 
     for (int i = 0; i < opt.warmup; ++i) {
       loader.Run(image.data(), dims);
+    }
+
+    if (!opt.dump_output.empty()) {
+      // one verification run whose outputs are written for numeric
+      // comparison against the Python jax.export artifact
+      auto outs = loader.Run(image.data(), dims);
+      for (size_t i = 0; i < outs.size(); ++i) {
+        std::string path = opt.dump_output + ".out" + std::to_string(i) + ".bin";
+        std::ofstream f(path, std::ios::binary);
+        f.write(reinterpret_cast<const char*>(outs[i].bytes.data()),
+                static_cast<std::streamsize>(outs[i].bytes.size()));
+        std::cout << "wrote " << path << " (" << outs[i].size_bytes
+                  << " bytes)\n";
+      }
     }
 
     auto t0 = std::chrono::steady_clock::now();

@@ -20,6 +20,31 @@ std::string ReadFile(const std::string& path) {
   return ss.str();
 }
 
+size_t ElementSizeBytes(PJRT_Buffer_Type type) {
+  switch (type) {
+    case PJRT_Buffer_Type_PRED:
+    case PJRT_Buffer_Type_S8:
+    case PJRT_Buffer_Type_U8:
+      return 1;
+    case PJRT_Buffer_Type_S16:
+    case PJRT_Buffer_Type_U16:
+    case PJRT_Buffer_Type_F16:
+    case PJRT_Buffer_Type_BF16:
+      return 2;
+    case PJRT_Buffer_Type_S32:
+    case PJRT_Buffer_Type_U32:
+    case PJRT_Buffer_Type_F32:
+      return 4;
+    case PJRT_Buffer_Type_S64:
+    case PJRT_Buffer_Type_U64:
+    case PJRT_Buffer_Type_F64:
+    case PJRT_Buffer_Type_C64:
+      return 8;
+    default:
+      throw std::runtime_error("unsupported output element type");
+  }
+}
+
 }  // namespace
 
 void PjrtLoader::Check(void* error) const {
@@ -39,7 +64,8 @@ void PjrtLoader::Check(void* error) const {
   throw std::runtime_error("PJRT error: " + message);
 }
 
-PjrtLoader::PjrtLoader(const std::string& plugin_path) {
+PjrtLoader::PjrtLoader(const std::string& plugin_path,
+                       const std::vector<ClientOption>& options) {
   dl_handle_ = dlopen(plugin_path.c_str(), RTLD_NOW | RTLD_LOCAL);
   if (!dl_handle_) {
     throw std::runtime_error(std::string("dlopen failed: ") + dlerror());
@@ -60,11 +86,30 @@ PjrtLoader::PjrtLoader(const std::string& plugin_path) {
     Check(api_->PJRT_Plugin_Initialize(&init_args));
   }
 
+  std::vector<PJRT_NamedValue> named(options.size());
+  for (size_t i = 0; i < options.size(); ++i) {
+    const ClientOption& o = options[i];
+    PJRT_NamedValue& v = named[i];
+    v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    v.extension_start = nullptr;
+    v.name = o.name.c_str();
+    v.name_size = o.name.size();
+    if (o.is_int) {
+      v.type = PJRT_NamedValue_kInt64;
+      v.int64_value = o.int_value;
+      v.value_size = 1;
+    } else {
+      v.type = PJRT_NamedValue_kString;
+      v.string_value = o.str_value.c_str();
+      v.value_size = o.str_value.size();
+    }
+  }
+
   PJRT_Client_Create_Args cargs;
   cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
   cargs.extension_start = nullptr;
-  cargs.create_options = nullptr;
-  cargs.num_options = 0;
+  cargs.create_options = named.empty() ? nullptr : named.data();
+  cargs.num_options = named.size();
   cargs.kv_get_callback = nullptr;
   cargs.kv_get_user_arg = nullptr;
   cargs.kv_put_callback = nullptr;
@@ -111,7 +156,8 @@ PjrtLoader::~PjrtLoader() {
   if (dl_handle_ != nullptr) dlclose(dl_handle_);
 }
 
-void PjrtLoader::Compile(const std::string& stablehlo_path) {
+void PjrtLoader::Compile(const std::string& stablehlo_path,
+                         const std::string& compile_options_path) {
   std::string code = ReadFile(stablehlo_path);
   static const char kFormat[] = "mlir";
 
@@ -123,14 +169,20 @@ void PjrtLoader::Compile(const std::string& stablehlo_path) {
   program.format = kFormat;
   program.format_size = sizeof(kFormat) - 1;
 
+  std::string compile_options;
+  if (!compile_options_path.empty()) {
+    compile_options = ReadFile(compile_options_path);
+  }
+
   PJRT_Client_Compile_Args args;
   args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
   args.extension_start = nullptr;
   args.client = client_;
   args.program = &program;
-  // Empty CompileOptionsProto: PJRT fills in defaults (1 replica).
-  args.compile_options = "";
-  args.compile_options_size = 0;
+  // Empty CompileOptionsProto: most plugins fill in defaults (1 replica);
+  // libtpu-AOT paths need the explicit proto.
+  args.compile_options = compile_options.data();
+  args.compile_options_size = compile_options.size();
   args.executable = nullptr;
   Check(api_->PJRT_Client_Compile(&args));
   executable_ = args.executable;
@@ -233,14 +285,38 @@ std::vector<HostTensor> PjrtLoader::Run(const uint8_t* data,
     Check(api_->PJRT_Event_Destroy(&edargs));
   }
 
-  // D2H copies.
+  // D2H copies — with an explicit dense row-major host layout: without it
+  // some plugins hand back the buffer in its on-device (tiled/transposed)
+  // layout.
   std::vector<HostTensor> host(num_outputs_);
   for (size_t i = 0; i < num_outputs_; ++i) {
+    PJRT_Buffer_Dimensions_Args dim_args;
+    dim_args.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    dim_args.extension_start = nullptr;
+    dim_args.buffer = outputs[i];
+    Check(api_->PJRT_Buffer_Dimensions(&dim_args));
+
+    // dense row-major = minor_to_major [n-1, ..., 0], no tiles (the same
+    // layout jaxlib's ToLiteral passes)
+    std::vector<int64_t> minor_to_major(dim_args.num_dims);
+    for (size_t d = 0; d < dim_args.num_dims; ++d) {
+      minor_to_major[d] = static_cast<int64_t>(dim_args.num_dims - 1 - d);
+    }
+    PJRT_Buffer_MemoryLayout layout;
+    layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    layout.extension_start = nullptr;
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    layout.tiled.minor_to_major = minor_to_major.data();
+    layout.tiled.minor_to_major_size = minor_to_major.size();
+    layout.tiled.tile_dims = nullptr;
+    layout.tiled.tile_dim_sizes = nullptr;
+    layout.tiled.num_tiles = 0;
+
     PJRT_Buffer_ToHostBuffer_Args targs;
     targs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     targs.extension_start = nullptr;
     targs.src = outputs[i];
-    targs.host_layout = nullptr;
+    targs.host_layout = &layout;
     targs.dst = nullptr;
     targs.dst_size = 0;
     targs.event = nullptr;
