@@ -61,17 +61,35 @@ def _greedy_suppress(iou: jax.Array, valid: jax.Array, iou_thres: float) -> jax.
     """Greedy NMS keep-mask over score-descending candidates.
 
     Sequential semantics (identical keep-set to torchvision.ops.nms): row i
-    suppresses lower-scored j only if i itself survived. Implemented as a
-    fori_loop of length-K vector updates — O(K) steps on the VPU.
+    suppresses lower-scored j only if i itself survived — the recurrence
+    ``x_j = valid_j ∧ ¬∃ i<j : x_i ∧ iou[i,j] > thr``.
+
+    TPU-first: solved by Jacobi fixed-point iteration instead of K
+    sequential steps. The dependency graph (strictly upper-triangular) is a
+    DAG, so iterating ``x ← F(x)`` from ``x = valid`` pins every candidate
+    whose suppression-chain depth ≤ t after t sweeps, and any fixpoint is
+    the unique greedy solution. Real scenes converge in < ~8 sweeps, each a
+    single K-wide masked matvec (MXU/VPU work), versus K = 512 dependent
+    scalar-indexed updates in the naive loop.
     """
     k = iou.shape[0]
-    idx = jnp.arange(k)
+    # S[i, j] = higher-scored i would suppress j (strict upper triangle)
+    sup = ((iou > iou_thres) & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])).astype(
+        jnp.float32
+    )
 
-    def body(i, keep):
-        sup = keep[i] & (iou[i] > iou_thres) & (idx > i)
-        return keep & ~sup
+    def cond(carry):
+        _, changed = carry
+        return changed
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    def body(carry):
+        x, _ = carry
+        hits = x.astype(jnp.float32) @ sup  # (k,) — #surviving suppressors of j
+        x_new = valid & (hits < 0.5)
+        return x_new, jnp.any(x_new != x)
+
+    x, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
+    return x
 
 
 @functools.partial(

@@ -187,3 +187,26 @@ def test_nms_classes_filter():
     out_c0 = non_max_suppression_np(pred, conf_thres=0.2, iou_thres=0.5, classes=[0])
     assert all((d[:, 5] == 0).all() for d in out_c0)
     assert sum(len(d) for d in out_c0) <= sum(len(d) for d in out_all)
+
+
+def test_greedy_suppress_long_chain_fixpoint():
+    """Adversarial case for the Jacobi fixed-point suppression: a long chain
+    of boxes where each overlaps only its neighbor. Greedy semantics keep
+    every other box (a box suppressed by a DEAD box must come back) — the
+    suppression-chain depth equals the chain length, the worst case for
+    iterative solvers."""
+    from ayolov2_tpu.ops.nms import _box_iou_matrix, _greedy_suppress
+
+    n = 60
+    # unit-height boxes, each shifted by 0.4 widths: IoU(i, i+1) ~ 0.43 > thr,
+    # IoU(i, i+2) ~ 0.08 < thr
+    x0 = np.arange(n, dtype=np.float32) * 0.4
+    boxes = np.stack([x0, np.zeros(n, np.float32), x0 + 1.0, np.ones(n, np.float32)], -1)
+    iou = _box_iou_matrix(jnp.asarray(boxes))
+    keep = np.asarray(_greedy_suppress(iou, jnp.ones(n, bool), 0.3))
+    # scores descend with index: greedy keeps 0, kills 1, keeps 2, ...
+    np.testing.assert_array_equal(keep, np.arange(n) % 2 == 0)
+
+    # cross-check vs the numpy oracle on the same geometry
+    want = np_greedy_nms(boxes, np.linspace(1.0, 0.5, n).astype(np.float32), 0.3)
+    np.testing.assert_array_equal(np.flatnonzero(keep), np.sort(want))
