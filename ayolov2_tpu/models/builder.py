@@ -137,7 +137,7 @@ def _build_specs(cfg: Dict[str, Any]) -> Tuple[List[LayerSpec], List[int], Optio
     return specs, sorted(save), head_index
 
 
-def _make_module(spec: LayerSpec, dtype, fuse: bool, name: str) -> nn.Module:
+def _make_module(spec: LayerSpec, dtype, fuse: bool, name: str, s2d: Any = False) -> nn.Module:
     """Instantiate the flax module for a (non-head) layer spec."""
     a, kw = spec.args, spec.kw()
     act = kw.get("activation", "SiLU" if spec.module in _WIDTH_SCALED else None)
@@ -146,7 +146,7 @@ def _make_module(spec: LayerSpec, dtype, fuse: bool, name: str) -> nn.Module:
         k = a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
         p = a[3] if len(a) > 3 else None
-        return L.ConvBnAct(a[0], k, s, p, act=act, dtype=dtype, fuse=fuse, name=name)
+        return L.ConvBnAct(a[0], k, s, p, act=act, dtype=dtype, fuse=fuse, s2d=s2d, name=name)
     if m == "Bottleneck":
         return L.Bottleneck(a[0], a[1] if len(a) > 1 else True, act=act, dtype=dtype, fuse=fuse, name=name)
     if m == "C3":
@@ -197,6 +197,13 @@ class YOLOModel(nn.Module):
     # — mapped ConvBnActs trace as 1x1 -> kxk -> 1x1 stacks (decomposition.py
     # parity); installed for the trace via layers.decompose_scope.
     decompose_map: Tuple[Tuple[str, Tuple[int, int]], ...] = ()
+    # compute a 6x6/s2 stem via space-to-depth (layers._S2DConv): exact same
+    # function + params, ~4x better MXU contraction on the cin=3 layer.
+    # False | "reshape" | "slice" (True = "reshape"). Default off: measured
+    # e2e on v5e, the phase rearrangement costs more than the contraction
+    # win buys (see STATUS.md perf notes) — kept as an option for larger
+    # models / future XLA versions.
+    s2d_stem: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False, skip_stem: bool = False):
@@ -244,9 +251,10 @@ class YOLOModel(nn.Module):
                 y = _make_module(spec, self.dtype, self.fused, f"model_{spec.index}")(inp, training)
             else:
                 y = inp
+                s2d = self.s2d_stem if spec.index == 0 else False
                 for r in range(spec.repeat):
                     name = f"model_{spec.index}" if spec.repeat == 1 else f"model_{spec.index}_{r}"
-                    y = _make_module(spec, self.dtype, self.fused, name)(y, training)
+                    y = _make_module(spec, self.dtype, self.fused, name, s2d=s2d)(y, training)
 
             if spec.index in self.save:
                 saved[spec.index] = y
@@ -279,11 +287,15 @@ def build_model(
     out_xyxy: bool = False,
     nc: Optional[int] = None,
     decompose_map: Any = (),
+    s2d_stem: Any = False,
 ) -> YOLOModel:
     """Build a YOLOModel from a model YAML path or dict.
 
     ``nc`` overrides the YAML's n_classes (the data-config nc wins at train
     time, parity: scripts/utils/model_manager.py:204-260).
+    ``s2d_stem``: compute a 6x6/s2 first conv via space-to-depth — exact
+    same function and parameter tree, ~4x better MXU utilization on the
+    cin=3 stem (the serving path's worst layer).
     """
     cfg = parse_model_config(cfg)
     specs, save, head_index = _build_specs(cfg)
@@ -308,6 +320,7 @@ def build_model(
         fused=fused,
         out_xyxy=out_xyxy,
         decompose_map=tuple(decompose_map),
+        s2d_stem=s2d_stem,
     )
 
 

@@ -83,6 +83,62 @@ def active_decompose_map() -> dict:
     return getattr(_DECOMP, "map", {})
 
 
+class _S2DConv(nn.Module):
+    """The stem 6x6/s2/p2 conv computed as space-to-depth + 3x3/s1 VALID.
+
+    Mathematically identical to the plain conv (the kernel is rearranged at
+    trace time; same parameter tree: <name>/kernel (6,6,cin,f) [+ bias]),
+    but the MXU contraction sees 4*cin input channels instead of cin — the
+    stem's cin=3 is the single worst MXU-utilization point of the whole
+    serving graph (XLA lowers small-cin convs at ~2% utilization;
+    CLAUDE.md perf notes). This is the inverse of YOLOv5's old Focus
+    module: v5 replaced Focus with the 6x6 conv for GPUs; on TPU the
+    s2d form wins.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    use_bias: bool = False
+    # how the 4-phase input is materialized: "reshape" (6D reshape +
+    # transpose) or "slice" (4 strided slices + channel concat — no
+    # transpose op, friendlier to XLA input fusion)
+    mode: str = "reshape"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        cin = x.shape[-1]
+        assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, "s2d stem needs even H/W"
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (6, 6, cin, self.features), jnp.float32
+        )
+        # K'[a, b, (p, q, c), o] = K[2a + p, 2b + q, c, o]
+        k = kernel.reshape(3, 2, 3, 2, cin, self.features)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 4 * cin, self.features)
+        k = k.astype(self.dtype)
+
+        n, h, w, _ = x.shape
+        x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        hp, wp = h + 4, w + 4
+        if self.mode == "slice":
+            # channel order (p, q, c) matches the kernel rearrangement above
+            x = jnp.concatenate(
+                [x[:, p::2, q::2, :] for p in (0, 1) for q in (0, 1)], axis=-1
+            )
+        else:
+            x = x.reshape(n, hp // 2, 2, wp // 2, 2, cin)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * cin)
+
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvBnAct(nn.Module):
     """Conv2d + BatchNorm + activation — the universal YOLOv5 'Conv' block.
 
@@ -104,11 +160,29 @@ class ConvBnAct(nn.Module):
     act: Optional[str] = "SiLU"
     dtype: Dtype = jnp.float32
     fuse: bool = False
+    # stem-only MXU optimization: compute a 6x6/s2/p2 conv via space-to-
+    # depth (see _S2DConv); exact same function and parameter tree.
+    # False = plain conv; "reshape" / "slice" (or True = "reshape") pick the
+    # phase-materialization strategy.
+    s2d: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         p = autopad(self.kernel_size, self.padding)
         ranks = active_decompose_map().get("/".join(self.path))
+        if (
+            self.s2d and ranks is None and self.kernel_size == 6
+            and self.stride == 2 and p == 2 and self.groups == 1
+        ):
+            mode = "reshape" if self.s2d is True else str(self.s2d)
+            x = _S2DConv(self.features, dtype=self.dtype, use_bias=self.fuse,
+                         mode=mode, name="conv")(x)
+            if not self.fuse:
+                x = nn.BatchNorm(
+                    use_running_average=not training, momentum=0.97, epsilon=1e-3,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="bn",
+                )(x)
+            return get_activation(self.act)(x)
         if ranks is not None:
             if self.groups != 1:
                 raise ValueError(f"cannot decompose grouped conv at {self.path}")

@@ -229,3 +229,25 @@ def test_model_family_param_count_goldens():
         )
         n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(shapes["params"]))
         assert n == want, (name, n, want)
+
+
+@pytest.mark.parametrize("mode", ["reshape", "slice"])
+def test_s2d_stem_exact_equivalence(mode):
+    """The space-to-depth stem computes the SAME function as the plain
+    6x6/s2/p2 conv with the same parameter tree (layers._S2DConv), in both
+    phase-materialization modes."""
+    import numpy as np
+
+    cfg = "res/configs/model/yolov5s.yaml"
+    plain = build_model(cfg, dtype=jnp.float32, s2d_stem=False)
+    s2d = build_model(cfg, dtype=jnp.float32, s2d_stem=mode)
+    variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+
+    # identical parameter trees (names + shapes)
+    v2 = s2d.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    assert jax.tree_util.tree_structure(variables["params"]) == jax.tree_util.tree_structure(v2["params"])
+
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3), np.uint8)) / 255.0
+    ref, _ = plain.apply(variables, x.astype(jnp.float32), training=False)
+    got, _ = s2d.apply(variables, x.astype(jnp.float32), training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
