@@ -239,3 +239,32 @@ def test_ema_decay_curve():
     out = ema.update(shadow, new, jnp.asarray(1, jnp.int32))
     d = float(ema.rate(jnp.asarray(1, jnp.int32)))
     np.testing.assert_allclose(np.asarray(out["w"]), d, rtol=1e-6)
+
+
+def test_loss_trajectory_fast(tiny_setup):
+    """Fast learning-quality gate in the default suite: 40 fixed-batch steps
+    on the tiny graph must cut the total loss by >=25% and keep every
+    component finite. Complements the AYOLO_SLOW_TESTS single-batch-overfit
+    proof (tests/test_overfit.py) and the fixture-VOC mAP golden
+    (tests/test_training_golden.py) with something that runs every time."""
+    model, variables, loss_fn, _ = tiny_setup
+    # short warmup so the lr is live within the 40-step budget (the fixture's
+    # default 1000-iter warmup ramp would keep lr ~0 here)
+    tx = build_optimizer(
+        variables["params"],
+        {"optimizer_params": {"lr": 0.01}, **HYP, "weight_decay": 0.0,
+         "warmup_min_iters": 5, "warmup_epochs": 0.1, "lrf": 1.0},
+        epochs=1, steps_per_epoch=40, batch_size=8,
+    )
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, loss_fn, tx, image_dtype=jnp.float32))
+    images, targets, mask = _batch()
+
+    first = last = None
+    for i in range(40):
+        state, items = step(state, images, targets, mask)
+        if i == 0:
+            first = np.asarray(items)
+        last = np.asarray(items)
+    assert np.isfinite(first).all() and np.isfinite(last).all(), (first, last)
+    assert last[3] < 0.75 * first[3], f"loss {first[3]:.4f} -> {last[3]:.4f}: no learning"
