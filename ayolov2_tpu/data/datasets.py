@@ -341,12 +341,15 @@ class DetectionDataset(ImageFolderDataset):
             for lab in self.labels:
                 lab[:, 0] = 0
 
-    def _item_rng(self, index: int) -> np.random.Generator:
-        """Per-(seed, epoch, item) RNG: deterministic regardless of how many
-        loader workers run __getitem__ concurrently (a shared Generator is
-        not thread-safe), and varying across epochs like the reference's
-        global-RNG draws."""
-        return np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch, index]))
+    def _item_rng(self, index: int, salt: int = 0) -> np.random.Generator:
+        """Per-(seed, epoch, item, salt) RNG: deterministic regardless of how
+        many loader workers run __getitem__ concurrently (a shared Generator
+        is not thread-safe), and varying across epochs like the reference's
+        global-RNG draws. ``salt`` is the item's position in the epoch order:
+        with weighted image resampling (replace=True) the same index can
+        occur many times per epoch, and without the salt every occurrence
+        would get byte-identical augmentations — defeating the oversampling."""
+        return np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch, index, salt]))
 
     def _load_labels(self) -> Tuple[List[np.ndarray], List[List[np.ndarray]]]:
         cache_file = self._cache_path().with_suffix(".labels")
@@ -466,8 +469,14 @@ class DetectionDataset(ImageFolderDataset):
 
     def __getitem__(self, index: int):
         """Returns (img HWC-BGR uint8, (n, 5) [cls, xywh-norm], path, shapes)."""
+        return self.get_item(index, 0)
+
+    def get_item(self, index: int, salt: int = 0):
+        """__getitem__ with an epoch-position salt (see :meth:`_item_rng`);
+        the DataLoader passes each item's position so repeated indices from
+        weighted resampling draw fresh augmentations."""
         index = int(self.indices[index])
-        rng = self._item_rng(index)
+        rng = self._item_rng(index, salt)
         shape = self.target_shape(index)
 
         if rng.random() < self.yolo_augmentation.get("mosaic", 0.0):

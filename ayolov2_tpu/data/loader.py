@@ -127,8 +127,14 @@ class DataLoader:
         idx, cnt = self.shard
         return order[idx::cnt]
 
-    def _build(self, b: np.ndarray, n_real: int):
-        items = [self.dataset[int(i)] for i in b]
+    def _build(self, b: np.ndarray, n_real: int, pos0: int = 0):
+        get = getattr(self.dataset, "get_item", None)
+        if get is not None:
+            # epoch-position salt: repeated indices (weighted resampling)
+            # must draw fresh augmentations (datasets._item_rng)
+            items = [get(int(i), pos0 + j) for j, i in enumerate(b)]
+        else:
+            items = [self.dataset[int(i)] for i in b]
         if self.detection:
             return collate(items, self.max_labels, n_real=n_real)
         imgs = np.stack([it[0] for it in items])
@@ -179,7 +185,7 @@ class DataLoader:
                     else:
                         return
                 try:
-                    built = self._build(batches[i], n_real[i])
+                    built = self._build(batches[i], n_real[i], pos0=i * self.batch_size)
                 except BaseException as e:  # propagate to the consumer
                     with cond:
                         errors.append(e)

@@ -246,6 +246,18 @@ class COCOmAPEvaluator:
     def _fix_cat(self, cid: int) -> int:
         return COCO_CATEGORY_IDS[int(cid)] if self.cat_from_yolo else int(cid)
 
+    def _lookup_label(self, cid: int) -> int:
+        """Strict category_id -> contiguous class index (KeyError on ids
+        outside the GT categories, like the reference's fix_label[...])."""
+        try:
+            return self.fix_label[int(cid)]
+        except KeyError:
+            raise KeyError(
+                f"category_id {cid} not in the GT categories "
+                f"({sorted(self.fix_label)[:5]}...); check cat_from_yolo / the "
+                "prediction JSON id-space"
+            ) from None
+
     def evaluate(self, pred_path: Union[str, Path, List[dict]], max_det: int = 100) -> Dict[str, float]:
         preds = (
             pred_path
@@ -356,8 +368,13 @@ class COCOmAPEvaluator:
             dts = pred_by_img.get(img_id, [])
             label_pred = np.zeros((0, 6), np.float64)
             if dts:
+                # strict category lookup — a category_id outside the GT
+                # category set means the prediction JSON and GT disagree on
+                # id-space (e.g. 91-id COCO vs 80-category GT); silently
+                # folding into class 0 would corrupt the report (the
+                # reference's fix_label[...] raises too, metrics.py:700)
                 label_pred = np.array(
-                    [[*d["bbox"], d["score"], self.fix_label.get(self._fix_cat(d["category_id"]), 0)]
+                    [[*d["bbox"], d["score"], self._lookup_label(self._fix_cat(d["category_id"]))]
                      for d in dts], np.float64,
                 )
                 label_pred[:, 2:4] += label_pred[:, 0:2]  # xywh -> xyxy
@@ -365,7 +382,7 @@ class COCOmAPEvaluator:
             label_gt = np.zeros((0, 5), np.float64)
             if gts:
                 label_gt = np.array(
-                    [[self.fix_label.get(g["category_id"], 0), *g["bbox"]] for g in gts],
+                    [[self._lookup_label(g["category_id"]), *g["bbox"]] for g in gts],
                     np.float64,
                 )
                 label_gt[:, 3:5] += label_gt[:, 1:3]
@@ -377,7 +394,7 @@ class COCOmAPEvaluator:
                 self._draw_result(img_id, label_pred, label_gt)
 
         c = [np.concatenate(x, 0) for x in zip(*corrects)]
-        precision, recall, ap, f1, _ = ap_per_class(
+        precision, recall, ap, f1, ap_class = ap_per_class(
             c[0], c[1], c[2], c[3],
             plot=self.export_root is not None,
             save_dir=self.export_root,
@@ -405,6 +422,9 @@ class COCOmAPEvaluator:
             "map50_95": float(ap_mean.mean()),
             "target_histogram": np.bincount(c[3].astype(np.int64), minlength=len(self.names)),
             "names": self.names,
+            # class ids the per-class rows belong to (classes absent from GT
+            # emit no row) — print_result scatters by these
+            "ap_class": ap_class,
         }
         self.print_result(result)
         return result
@@ -421,13 +441,18 @@ class COCOmAPEvaluator:
 
         names = list(result["names"])
         n = len(names)
+        # ap_per_class emits rows only for classes present in GT; scatter by
+        # the class ids so sparse-class runs don't misattribute rows
+        ap_class = np.asarray(
+            result.get("ap_class", np.arange(n)), np.int64
+        )
 
         def full(key):
             arr = np.asarray(result[key], np.float64)
-            if arr.shape[0] == n:
-                return arr
             out = np.zeros(n)
-            out[: arr.shape[0]] = arr
+            ids = ap_class[: arr.shape[0]]
+            keep = ids < n
+            out[ids[keep]] = arr[: len(ids)][keep]
             return out
 
         by_class = np.stack(
@@ -449,6 +474,7 @@ class COCOmAPEvaluator:
                 tablefmt="github",
             )
         )
+        return contents
 
     def _draw_result(self, img_id: int, label_pred: np.ndarray, label_gt: np.ndarray) -> None:
         """Pred-vs-GT side-by-side debug render (metrics.py:823-880)."""

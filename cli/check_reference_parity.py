@@ -78,6 +78,7 @@ def main() -> int:
     nc = int(data_cfg["nc"])
 
     # --- weights: reference .pt -> import; .ckpt -> load ---
+    decompose_map = ()
     if args.weights.endswith(".pt"):
         from ayolov2_tpu.utils.torch_import import (
             load_torch_checkpoint,
@@ -98,13 +99,17 @@ def main() -> int:
     else:
         variables, meta = load_variables(args.weights, prefer_ema=True)
         model_cfg = json.loads(meta["model_cfg"]) if meta.get("model_cfg") else parse_model_config(args.model_cfg)
+        # Tucker-decomposed ckpts (the YOLOv5l/x-decomposed table rows) trace
+        # as 1x1->kxk->1x1 stacks — the graph must match the param tree
+        decompose_map = json.loads(meta["decompose_map"]) if meta.get("decompose_map") else ()
 
     n_params = count_params(variables["params"])
     row = REFERENCE_TABLE.get(n_params)
     LOGGER.info("model: %s params -> %s", f"{n_params:,}", row[0] if row else "UNKNOWN")
 
     # --- validate (fused bf16 serving graph, reference val defaults) ---
-    model = build_model(model_cfg, dtype=jnp.bfloat16, fused=True, nc=nc)
+    model = build_model(model_cfg, dtype=jnp.bfloat16, fused=True, nc=nc,
+                        decompose_map=decompose_map)
     stride = int(max(model.stride))
     w = check_img_size(args.img_width, stride)
     dataset = DetectionDataset(

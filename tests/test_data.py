@@ -173,3 +173,21 @@ def test_dataloader_final_batch_n_real():
     assert last.images.shape[0] == 3  # still padded to full batch
     if n % 3:
         assert last.n_real == n % 3
+
+
+def test_repeated_index_salt_fresh_augmentations():
+    """Weighted image resampling repeats indices within an epoch; the
+    epoch-position salt must give each occurrence fresh augmentation draws
+    (identical draws would defeat the oversampling), while the same
+    (index, salt) stays deterministic."""
+    from ayolov2_tpu.data.datasets import DetectionDataset
+
+    hyp = {"augment": True, "mosaic": 1.0, "hsv_h": 0.015, "hsv_s": 0.7,
+           "hsv_v": 0.4, "translate": 0.1, "scale": 0.5}
+    ds = DetectionDataset(VOC_TRAIN, img_size=128, batch_size=4,
+                          yolo_augmentation=hyp)
+    a = ds.get_item(0, 0)[0]
+    b = ds.get_item(0, 1)[0]
+    c = ds.get_item(0, 0)[0]
+    assert (a != b).any(), "same index at different epoch positions: identical sample"
+    assert (a == c).all(), "same (index, salt) must be deterministic"

@@ -230,3 +230,34 @@ def test_coco_evaluator_per_class_report(tmp_path):
     assert (export_root / f"{1:012d}.jpg").exists()
     assert (export_root / f"{2:012d}.jpg").exists()
     assert (export_root / "confusion_matrix.png").exists()
+
+
+def test_print_result_sparse_class_alignment():
+    """Per-class report rows must land on the right class names when some
+    classes have no GT (ap_per_class emits rows only for present classes) —
+    regression for the positional-padding misattribution."""
+    names = [f"c{i}" for i in range(5)]
+    result = {
+        "names": names,
+        "ap_class": np.array([1, 3]),          # only classes 1 and 3 in GT
+        "p": np.array([0.8, 0.6]), "r": np.array([0.7, 0.5]),
+        "f1": np.array([0.74, 0.54]),
+        "ap50": np.array([0.9, 0.4]), "ap": np.array([0.5, 0.2]),
+        "mp": 0.7, "mr": 0.6, "map50": 0.65, "map50_95": 0.35,
+        "target_histogram": np.array([0, 3, 0, 2, 0]),
+    }
+    contents = COCOmAPEvaluator.print_result(result)
+    rows = {row[0]: [float(v) for v in row[1:]] for row in contents}
+    assert rows["c1"][1] == pytest.approx(0.8)   # P of class 1
+    assert rows["c3"][4] == pytest.approx(0.4)   # mAP50 of class 3
+    assert rows["c0"][1:] == [0, 0, 0, 0, 0]     # absent class: all zeros
+    assert rows["c2"][1:] == [0, 0, 0, 0, 0]
+
+
+def test_evaluate_per_class_rejects_unknown_category():
+    """Unknown category_ids must raise (reference fix_label[...] KeyError),
+    not silently fold into class 0."""
+    ev = COCOmAPEvaluator(_mini_gt())
+    bad = [{"image_id": 1, "category_id": 99, "bbox": [10, 10, 20, 20], "score": 0.9}]
+    with pytest.raises(KeyError, match="category_id 99"):
+        ev.evaluate_per_class(bad)
