@@ -10,10 +10,32 @@ from __future__ import annotations
 import os
 
 
+def _machine_tag() -> str:
+    """Short hash of the host CPU feature set.
+
+    The sandbox VM can land on hosts with different AVX feature sets between
+    boots; XLA:CPU AOT cache entries compiled for a richer ISA SIGILL on a
+    poorer one (cpu_aot_loader warns about exactly this). Keying the cache
+    dir by the feature set keeps entries host-compatible. TPU entries are
+    tied to the same dir but recompile cheaply per host-era."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "default"
+
+
 def setup(cache_dir: str = "") -> None:
     import jax
 
-    cache = cache_dir or os.environ.get("AYOLO_JAX_CACHE", "/root/.cache/jax_comp_cache")
+    cache = cache_dir or os.environ.get(
+        "AYOLO_JAX_CACHE", f"/root/.cache/jax_comp_cache_{_machine_tag()}"
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
