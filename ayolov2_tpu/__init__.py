@@ -5,7 +5,7 @@ detection: YAML-declared models, training with mosaic/HSV/perspective augmentati
 CIoU loss with anchor-ratio target assignment, EMA, SWA, batched NMS, COCO mAP
 evaluation, tensor decomposition, TTA, hyperparameter search, and AOT export) —
 redesigned TPU-first: NHWC layouts, bf16 compute on the MXU, fixed static shapes
-everywhere, `jax.sharding.Mesh` + pjit data parallelism, and Pallas kernels for
+everywhere, and `jax.sharding.Mesh` + pjit data parallelism for
 the post-processing hot path.
 
 Reference behavior citations throughout point into /root/reference (file:line).

@@ -206,24 +206,14 @@ class YOLOModel(nn.Module):
     s2d_stem: Any = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, training: bool = False, skip_stem: bool = False):
+    def __call__(self, x: jax.Array, training: bool = False):
         with L.decompose_scope(dict(self.decompose_map)):
-            return self._forward(x, training, skip_stem)
+            return self._forward(x, training)
 
-    def _forward(self, x: jax.Array, training: bool = False, skip_stem: bool = False):
-        """``skip_stem``: treat ``x`` as the OUTPUT of layer 0 (e.g. computed
-        by the Pallas stem kernel, ops/stem_pallas.py) and run the graph
-        from layer 1. Layer-0 params exist but are unused (flax tolerates
-        extras); only valid when layer 0 is a single Conv.
-        """
+    def _forward(self, x: jax.Array, training: bool = False):
         saved: Dict[int, jax.Array] = {}
         y: Any = x.astype(self.dtype)
         specs = self.specs
-        if skip_stem:
-            assert specs[0].module == "Conv" and specs[0].repeat == 1, specs[0]
-            if specs[0].index in self.save:
-                saved[specs[0].index] = y
-            specs = specs[1:]
         for spec in specs:
             if spec.module == "YOLOHead":
                 feats = [saved[f] if f >= 0 else y for f in spec.from_idx]

@@ -1,4 +1,4 @@
-"""Compute ops: fixed-shape NMS (XLA + Pallas), pooling, image ops."""
+"""Compute ops: fixed-shape NMS, fused decode+NMS serving path, TTA."""
 
 from ayolov2_tpu.ops.nms import batched_nms, non_max_suppression_np
 
