@@ -54,17 +54,20 @@ def ref_modules():
         offset = idxs.to(boxes) * (boxes.max() + 1)
         return _nms(boxes + offset[:, None], scores, iou_threshold)
 
-    if "torchvision" not in sys.modules or not hasattr(sys.modules["torchvision"].ops, "boxes"):
+    # ALWAYS upgrade the existing stub module object in place: the reference
+    # modules bind `import torchvision` at their first import (possibly from
+    # another test file's barer stub), so replacing sys.modules would leave
+    # their cached binding without .ops.nms (AttributeError under full-suite
+    # ordering).
+    tv = sys.modules.get("torchvision")
+    if tv is None:
         tv = types.ModuleType("torchvision")
-        tv_ops = types.ModuleType("torchvision.ops")
-        tv_ops.nms = _nms
-        tv_ops.boxes = types.SimpleNamespace(batched_nms=_batched_nms)
-        tv.ops = tv_ops
         sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv_ops
-    else:  # upgrade an earlier stub with the real implementations
-        sys.modules["torchvision"].ops.nms = _nms
-        sys.modules["torchvision"].ops.boxes = types.SimpleNamespace(batched_nms=_batched_nms)
+    if not hasattr(tv, "ops"):
+        tv.ops = types.ModuleType("torchvision.ops")
+    sys.modules["torchvision.ops"] = tv.ops
+    tv.ops.nms = _nms
+    tv.ops.boxes = types.SimpleNamespace(batched_nms=_batched_nms)
     if "kindle" not in sys.modules:
         kindle = types.ModuleType("kindle")
         kindle.YOLOModel = object
