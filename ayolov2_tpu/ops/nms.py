@@ -249,7 +249,7 @@ def flat_grid_meta(
     ),
 )
 def fused_decode_nms(
-    raw_flat: jax.Array,
+    raw_flat,
     grid_xy: jax.Array,
     anchor_wh: jax.Array,
     stride: jax.Array,
@@ -274,13 +274,19 @@ def fused_decode_nms(
         raw_flat: (bs, N, 5+nc) raw head outputs (pre-sigmoid, any dtype),
             flattened in the head's ny*nx*na level order.
         grid_xy / anchor_wh / stride: constants from :func:`flat_grid_meta`.
-    """
-    nc = raw_flat.shape[-1] - 5
 
-    def per_image(raw: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        k0 = min(nms_box, raw.shape[0])
-        # objectness pre-filter on raw logits (sigmoid is monotonic)
-        _, oidx = jax.lax.top_k(raw[:, 4], k0)
+    Note: a per-level-maps input form (objectness sliced from each level map
+    before the concat) measured FASTER in isolation (1.84 -> 1.07 ms for
+    prefilter+gather at bs32@640) but 0.6 ms SLOWER end-to-end — it breaks
+    XLA's overlap of the head with the decode. Kept flat on purpose.
+    """
+    obj = raw_flat[..., 4]
+    nc = raw_flat.shape[-1] - 5
+    k0 = min(nms_box, raw_flat.shape[1])
+    # objectness pre-filter on raw logits (sigmoid is monotonic)
+    _, oidx_all = jax.lax.top_k(obj, k0)  # (bs, k0)
+
+    def per_image(raw: jax.Array, oidx: jax.Array) -> Tuple[jax.Array, jax.Array]:
         rows = jax.nn.sigmoid(raw[oidx].astype(jnp.float32))  # (k0, 5+nc)
         xy = (rows[:, 0:2] * 2.0 - 0.5 + grid_xy[oidx]) * stride[oidx]
         wh = (rows[:, 2:4] * 2.0) ** 2 * anchor_wh[oidx]
@@ -305,7 +311,7 @@ def fused_decode_nms(
             boxes, scores, cls, valid, iou_thres, keep_top_k, agnostic, nms_type
         )
 
-    return jax.vmap(per_image)(raw_flat)
+    return jax.vmap(per_image)(raw_flat, oidx_all)
 
 
 def flatten_raw_maps(raw: Sequence[jax.Array]) -> jax.Array:

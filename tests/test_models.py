@@ -231,7 +231,7 @@ def test_model_family_param_count_goldens():
         assert n == want, (name, n, want)
 
 
-@pytest.mark.parametrize("mode", ["reshape", "slice"])
+@pytest.mark.parametrize("mode", ["reshape", "slice", "im2col"])
 def test_s2d_stem_exact_equivalence(mode):
     """The space-to-depth stem computes the SAME function as the plain
     6x6/s2/p2 conv with the same parameter tree (layers._S2DConv), in both
