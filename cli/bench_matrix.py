@@ -1,0 +1,171 @@
+"""Benchmark matrix: the BASELINE.md config list on one chip.
+
+Covers the benchmark configurations BASELINE.md names: yolov5s serve
+(same metric as bench.py), TTA serve, Tucker-decomposed serve, and the
+full training step. Prints one JSON line per config:
+
+    {"metric": ..., "value": ..., "unit": "images/sec/chip"}
+
+Methodology: chained iterations ending in a D2H hard sync with the
+single-iteration latency subtracted (the tunneled backend's
+block_until_ready returns early — see bench.py).
+
+Usage: python cli/bench_matrix.py [--configs serve tta decomposed train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
+
+_jax_setup()
+
+BATCH, SIZE = 32, 640
+MODEL_CFG = "res/configs/model/yolov5s.yaml"
+
+
+def _hard_time(fn, sync, iters=20):
+    for _ in range(3):
+        sync(fn())
+    t0 = time.perf_counter()
+    sync(fn())
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(iters + 1):
+        r = fn()
+    sync(r)
+    return (time.perf_counter() - t0 - t1) / iters
+
+
+def _emit(name, t, batch=BATCH):
+    print(json.dumps({
+        "metric": name, "value": round(batch / t, 2),
+        "unit": "images/sec/chip", "ms_per_batch": round(t * 1e3, 2),
+    }), flush=True)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="BASELINE.md benchmark matrix")
+    p.add_argument("--configs", nargs="+",
+                   default=["serve", "tta", "decomposed", "train"],
+                   choices=["serve", "tta", "decomposed", "train"])
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ayolov2_tpu.models import build_model, fuse_params, init_model
+    from ayolov2_tpu.models.yolo_head import YOLOHead
+    from ayolov2_tpu.ops.nms import flat_grid_meta, flatten_raw_maps, fused_decode_nms
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
+
+    unfused = build_model(MODEL_CFG, dtype=jnp.bfloat16)
+    variables = init_model(unfused, jax.random.PRNGKey(0), img_size=SIZE)
+    fused_vars = fuse_params(variables)
+    nms_kw = dict(conf_thres=0.001, iou_thres=0.65, nms_box=512, pre_top_k=512,
+                  keep_top_k=100, multi_label=False)
+
+    def serving_fn(model, fvars):
+        head = YOLOHead(nc=model.nc, anchors=model.anchors, strides=model.strides)
+        grid_xy, anchor_wh, stride = (
+            jnp.asarray(v)
+            for v in flat_grid_meta(model.strides, head.anchor_grid(), (SIZE, SIZE))
+        )
+
+        @jax.jit
+        def serve(images):
+            imgs = images.astype(jnp.bfloat16) / 255.0
+            raw = model.apply(fvars, imgs, training=True)
+            return fused_decode_nms(flatten_raw_maps(raw), grid_xy, anchor_wh, stride, **nms_kw)
+
+        return serve
+
+    sync_det = lambda r: float(jnp.sum(r[0]))
+
+    if "serve" in args.configs:
+        model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+        serve = serving_fn(model, fused_vars)
+        _emit("yolov5s_640_bs32_serve", _hard_time(lambda: serve(images), sync_det, args.iters))
+
+    if "tta" in args.configs:
+        from ayolov2_tpu.ops.tta import inference_with_tta
+
+        model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+
+        @jax.jit
+        def tta(images):
+            imgs = images.astype(jnp.bfloat16) / 255.0
+
+            def fwd(x):
+                dec, _ = model.apply(fused_vars, x, training=False)
+                return dec
+
+            return inference_with_tta(fwd, imgs, nl=len(model.strides), gs=int(max(model.stride)))
+
+        _emit("yolov5s_640_bs32_tta_serve",
+              _hard_time(lambda: tta(images), lambda r: float(jnp.sum(r)), args.iters))
+
+    if "decomposed" in args.configs:
+        from ayolov2_tpu.compress.decomposition import decompose_model
+
+        dmap, dparams, _ = decompose_model(
+            {"params": variables["params"]}["params"], loss_thr=0.1, n_test=64,
+        )
+        dmodel = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True,
+                             decompose_map=tuple((k, tuple(v)) for k, v in dmap.items()))
+        dfused = fuse_params({"params": dparams, "batch_stats": variables.get("batch_stats", {})})
+        serve_d = serving_fn(dmodel, dfused)
+        _emit("yolov5s_640_bs32_decomposed_serve",
+              _hard_time(lambda: serve_d(images), sync_det, args.iters))
+
+    if "train" in args.configs:
+        from ayolov2_tpu.loss import ComputeLoss
+        from ayolov2_tpu.train.optimizer import build_optimizer
+        from ayolov2_tpu.train.train_state import create_train_state, make_train_step
+
+        model = build_model(MODEL_CFG, dtype=jnp.bfloat16)
+        hyp = {"optimizer_params": {"lr": 0.01}, "box": 0.05, "cls": 0.5, "obj": 1.0,
+               "cls_pw": 1.0, "obj_pw": 1.0, "anchor_t": 4.0, "fl_gamma": 0.0,
+               "label_smoothing": 0.0, "weight_decay": 5e-4, "lrf": 0.1,
+               "momentum": 0.937, "warmup_epochs": 3.0, "warmup_momentum": 0.8,
+               "warmup_bias_lr": 0.1}
+        loss_fn = ComputeLoss.from_hyp(model.head.stride_anchors(), model.nc, hyp)
+        tx = build_optimizer(variables["params"], hyp, epochs=300, steps_per_epoch=100,
+                             batch_size=BATCH)
+        state = create_train_state(variables, tx)
+        step = jax.jit(make_train_step(model, loss_fn, tx, image_dtype=jnp.bfloat16))
+        targets = np.zeros((BATCH * 64, 6), np.float32)
+        mask = np.zeros((BATCH * 64,), bool)
+        for i in range(BATCH):
+            targets[i] = [i, i % model.nc, 0.5, 0.5, 0.25, 0.25]
+            mask[i] = True
+        targets, mask = jnp.asarray(targets), jnp.asarray(mask)
+
+        box = {"state": state}
+
+        def run_step():
+            box["state"], items = step(box["state"], images, targets, mask)
+            return items
+
+        _emit("yolov5s_640_bs32_train_step",
+              _hard_time(run_step, lambda r: float(jnp.sum(r)), args.iters))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
