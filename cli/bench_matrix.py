@@ -57,8 +57,8 @@ def _emit(name, t, batch=BATCH):
 def main() -> int:
     p = argparse.ArgumentParser(description="BASELINE.md benchmark matrix")
     p.add_argument("--configs", nargs="+",
-                   default=["serve", "tta", "decomposed", "train"],
-                   choices=["serve", "tta", "decomposed", "train"])
+                   default=["serve", "tta", "decomposed", "train", "latency"],
+                   choices=["serve", "tta", "decomposed", "train", "latency"])
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
 
@@ -100,6 +100,35 @@ def main() -> int:
         model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
         serve = serving_fn(model, fused_vars)
         _emit("yolov5s_640_bs32_serve", _hard_time(lambda: serve(images), sync_det, args.iters))
+
+    if "latency" in args.configs:
+        # p50 end-to-end latency (BASELINE.md metric trio), bs=1: each call
+        # individually hard-synced; the pure tunnel/sync round-trip (timed
+        # on a 1-element read) is reported alongside so the device-side p50
+        # can be separated from transport.
+        model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+        serve1 = serving_fn(model, fused_vars)
+        img1 = images[:1]
+        one = jnp.zeros((1,), jnp.float32)
+        for _ in range(3):
+            sync_det(serve1(img1))
+        samples, rtts = [], []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            sync_det(serve1(img1))
+            samples.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(jnp.sum(one))
+            rtts.append(time.perf_counter() - t0)
+        p50 = float(np.median(samples))
+        rtt = float(np.median(rtts))
+        print(json.dumps({
+            "metric": "yolov5s_640_bs1_p50_latency_ms",
+            "value": round(p50 * 1e3, 2),
+            "unit": "ms",
+            "sync_rtt_ms": round(rtt * 1e3, 2),
+            "p50_minus_rtt_ms": round((p50 - rtt) * 1e3, 2),
+        }), flush=True)
 
     if "tta" in args.configs:
         from ayolov2_tpu.ops.tta import inference_with_tta
