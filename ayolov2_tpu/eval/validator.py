@@ -80,6 +80,10 @@ class YoloValidator:
         self.pre_top_k = int(cfg.get("pre_top_k", 512))
         self.nms_box = int(cfg.get("nms_box", 1000))
         self.tta = bool(cfg.get("tta", False))
+        # TTA scale/flip schedule (reference res/configs/cfg/tta.yaml via
+        # val.py --tta-cfg); None = ops/tta.py defaults
+        self.tta_scales = cfg.get("tta_scales")
+        self.tta_flips = cfg.get("tta_flips")
         self.hybrid_label = bool(cfg.get("hybrid_label", False))
         self.image_dtype = jnp.bfloat16 if cfg.get("half", True) else jnp.float32
         self.verbose = bool(cfg.get("verbose", False))
@@ -146,7 +150,12 @@ class YoloValidator:
                 decoded, _ = self.model.apply(variables, x, training=False)
                 return decoded.astype(jnp.float32)
 
-            pred = inference_with_tta(fwd, imgs, nl=self.model.nl, gs=int(max(self.model.stride)))
+            kw = {}
+            if self.tta_scales is not None:
+                kw["scales"] = tuple(self.tta_scales)
+            if self.tta_flips is not None:
+                kw["flips"] = tuple(self.tta_flips)
+            pred = inference_with_tta(fwd, imgs, nl=self.model.nl, gs=int(max(self.model.stride)), **kw)
             return pred, None
         decoded, raw = self.model.apply(variables, imgs, training=False)
         return decoded.astype(jnp.float32), [r.astype(jnp.float32) for r in raw]

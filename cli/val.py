@@ -53,6 +53,28 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("-ct", "--conf-t", type=float, default=0.001)
     parser.add_argument("-it", "--iou-t", type=float, default=0.65)
+    parser.add_argument("--device", type=str, default="",
+                        help="reference-CLI parity (GPU id string); this build "
+                             "targets the ambient TPU/mesh — value is logged only")
+    parser.add_argument("--dst", type=str, default="exp",
+                        help="run dir root: {dst}/val/{DATE}_runs (plots/JSON land here)")
+    parser.add_argument("--top-k", type=int, default=512,
+                        help="NMS objectness pre-filter top-k (TRT topK analogue)")
+    parser.add_argument("-ktk", "--keep-top-k", type=int, default=0,
+                        help="detections kept after NMS (TRT keepTopK); 0 = --max-det")
+    parser.add_argument("--rect", action="store_true", dest="rect", default=True,
+                        help="rectangular val batches (default)")
+    parser.add_argument("--plot", action="store_true",
+                        help="save PR/F1/confusion plots under the run dir")
+    parser.add_argument("--profile", action="store_true",
+                        help="profile the forward before validation")
+    parser.add_argument("--n-profile", type=int, default=100,
+                        help="iterations for --profile")
+    parser.add_argument("--half", action="store_true",
+                        help="reference-CLI parity: half precision is the default "
+                             "here (bf16); use --no-half for fp32")
+    parser.add_argument("--tta-cfg", type=str, default="res/configs/cfg/tta.yaml",
+                        help="TTA scales/flips YAML (reference res/configs/cfg/tta.yaml)")
     parser.add_argument("--nms-type", type=str, default="nms",
                         choices=["nms", "batched_nms", "fast_nms", "matrix_nms", "merge_nms"])
     parser.add_argument("--max-det", type=int, default=300)
@@ -60,10 +82,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tta", action="store_true", help="test-time augmentation")
     parser.add_argument("--hybrid-label", action="store_true", help="inject GT into NMS candidates")
     parser.add_argument("--no-half", action="store_true", help="fp32 compute instead of bf16")
-    parser.add_argument("--no-rect", action="store_true", help="square batches instead of rect")
+    parser.add_argument("--no-rect", action="store_false", dest="rect", help="square batches instead of rect")
     parser.add_argument("--no-fuse", action="store_true", help="skip conv+BN folding")
     parser.add_argument("--profile-step", type=int, default=0, help="profile forward N times")
-    parser.add_argument("-v", "--verbose", action="store_true", help="per-class metrics")
+    parser.add_argument("-v", "--verbose", type=int, nargs="?", const=1, default=1,
+                        help="verbosity level (reference type; >=2 = per-class metrics)")
     parser.add_argument("--n-skip", type=int, default=0, help="skip every n images")
     parser.add_argument("--json-path", type=str, default="", help="write result metrics JSON here")
     return parser
@@ -127,6 +150,9 @@ def validate_exported(args, data_cfg, nc: int, names) -> dict:
 
 def main() -> dict:
     args = get_parser().parse_args()
+    if args.device:
+        LOGGER.info("--device=%s accepted for reference-CLI parity; this build "
+                    "runs on the ambient JAX devices", args.device)
     if args.weights:
         # wandb run-path loading (reference val.py:276-278): a non-local
         # 'entity/project/run_id' weights arg downloads the run's best ckpt
@@ -180,7 +206,7 @@ def main() -> dict:
         data_cfg["val_path"],
         img_size=max(h, w),
         batch_size=args.batch_size,
-        rect=not args.no_rect,
+        rect=args.rect,
         pad=0.5,
         stride=stride,
         n_skip=args.n_skip,
@@ -189,8 +215,27 @@ def main() -> dict:
     )
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False, pad_final_batch=True)
 
-    if args.profile_step > 0:
-        profile_model(model, variables, (h, w), args.batch_size, args.profile_step, dtype)
+    if args.profile_step > 0 or args.profile:
+        n_run = args.profile_step or args.n_profile
+        profile_model(model, variables, (h, w), args.batch_size, n_run, dtype)
+
+    # TTA schedule from --tta-cfg (reference res/configs/cfg/tta.yaml).
+    # The yaml uses torch NCHW flip dims (2=ud, 3=lr); ops/tta.py speaks
+    # NHWC (1=ud, 2=lr) — map here so reference configs work verbatim.
+    tta_scales = tta_flips = None
+    if args.tta and args.tta_cfg and Path(args.tta_cfg).exists():
+        tta_cfg = yaml.safe_load(Path(args.tta_cfg).read_text()) or {}
+        tta_scales = tta_cfg.get("scales")
+        raw_flips = tta_cfg.get("flips")
+        if raw_flips is not None:
+            tta_flips = [None if f is None else {2: 1, 3: 2}[int(f)] for f in raw_flips]
+
+    plot_dir = None
+    if args.plot:
+        from ayolov2_tpu.utils.config import make_run_dir
+
+        plot_dir = str(make_run_dir(args.dst, "val"))
+        LOGGER.info("plots -> %s", plot_dir)
 
     validator = YoloValidator(
         model,
@@ -202,11 +247,15 @@ def main() -> dict:
             "iou_t": args.iou_t,
             "nms_type": args.nms_type,
             "single_cls": args.single_cls,
-            "max_det": args.max_det,
+            "max_det": args.keep_top_k or args.max_det,
+            "pre_top_k": args.top_k,
             "tta": args.tta,
+            "tta_scales": tta_scales,
+            "tta_flips": tta_flips,
             "hybrid_label": args.hybrid_label,
             "half": not args.no_half,
             "verbose": args.verbose,
+            "plot_dir": plot_dir,
         },
     )
     result = validator.validation()
