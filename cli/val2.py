@@ -63,9 +63,33 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--keep-top-k", type=int, default=100)
     parser.add_argument("--nms-box", type=int, default=1000)
     parser.add_argument("--tta", action="store_true")
+    parser.add_argument("--tta-cfg", type=str, default="res/configs/cfg/tta.yaml",
+                        help="TTA scales/flips YAML (reference schema, NCHW flip dims)")
     parser.add_argument("--no-half", action="store_true")
-    parser.add_argument("--no-rect", action="store_true")
+    parser.add_argument("--half", action="store_true",
+                        help="reference-CLI parity: bf16 is already the default")
+    parser.add_argument("--rect", action="store_true", dest="rect", default=True,
+                        help="rectangular batches (default)")
+    parser.add_argument("--no-rect", action="store_false", dest="rect")
     parser.add_argument("--n-skip", type=int, default=0)
+    parser.add_argument("--data", type=str, default="",
+                        help="validation image root (overrides data-cfg val_path)")
+    parser.add_argument("--device", type=str, default="",
+                        help="reference-CLI parity (GPU id); logged only on TPU")
+    parser.add_argument("--dst", type=str, default="exp",
+                        help="export dir root: {dst}/val2/{DATE}_runs")
+    parser.add_argument("-ih", "--img-height", type=int, default=-1)
+    parser.add_argument("--agnostic", action="store_true",
+                        help="class-agnostic NMS (no class coordinate offset)")
+    parser.add_argument("--single-cls", action="store_true",
+                        help="validate as a single class")
+    parser.add_argument("--plot", action="store_true",
+                        help="per-class report + plots under the dst run dir")
+    parser.add_argument("--export", type=str, default="",
+                        help="write pred-vs-GT debug renders to this dir")
+    parser.add_argument("--no-coco", action="store_true",
+                        help="skip the pycocotools cross-check")
+    parser.add_argument("--verbose", type=int, nargs="?", const=1, default=1)
     parser.add_argument("--check-map", type=float, default=-1.0,
                         help="fail unless mAP50 >= this value")
     parser.add_argument("--trace-dir", type=str, default="",
@@ -76,8 +100,15 @@ def get_parser() -> argparse.ArgumentParser:
 def main() -> dict:
     args = get_parser().parse_args()
     t = TimeChecker("val2")
+    if args.device:
+        LOGGER.info("--device=%s accepted for reference-CLI parity; running on "
+                    "the ambient JAX devices", args.device)
 
     data_cfg = load_yaml(args.data_cfg)
+    if args.data:
+        data_cfg["val_path"] = args.data
+    # single_cls folds labels/NMS to one class; the model graph keeps its nc
+    # (reference semantics: the dataset folds, the net is unchanged)
     nc = int(data_cfg["nc"])
     dtype = jnp.float32 if args.no_half else jnp.bfloat16
 
@@ -104,13 +135,27 @@ def main() -> dict:
     t.add("model")
 
     stride = int(max(model.stride))
-    img_size = check_img_size(args.img_width, stride)
+    if args.img_height < 0:
+        args.img_height = args.img_width
+    img_size = check_img_size(max(args.img_width, args.img_height), stride)
     dataset = ImageFolderDataset(
         data_cfg["val_path"], img_size=img_size, batch_size=args.batch_size,
-        rect=not args.no_rect, pad=0.5, stride=stride, n_skip=args.n_skip,
+        rect=args.rect, pad=0.5, stride=stride, n_skip=args.n_skip,
     )
     loader = DataLoader(dataset, batch_size=args.batch_size, detection=False)
     t.add("dataset")
+
+    tta_kw = {}
+    if args.tta and args.tta_cfg and Path(args.tta_cfg).exists():
+        import yaml as _yaml
+
+        tta_cfg = _yaml.safe_load(Path(args.tta_cfg).read_text()) or {}
+        if tta_cfg.get("scales") is not None:
+            tta_kw["scales"] = tuple(tta_cfg["scales"])
+        if tta_cfg.get("flips") is not None:  # torch NCHW dims -> NHWC axes
+            tta_kw["flips"] = tuple(
+                None if f is None else {2: 1, 3: 2}[int(f)] for f in tta_cfg["flips"]
+            )
 
     @jax.jit
     def serve(images):
@@ -118,7 +163,7 @@ def main() -> dict:
         if args.tta:
             pred = inference_with_tta(
                 lambda x: model.apply(variables, x, training=False)[0].astype(jnp.float32),
-                imgs, nl=model.nl, gs=stride,
+                imgs, nl=model.nl, gs=stride, **tta_kw,
             )
         else:
             pred = model.apply(variables, imgs, training=False)[0].astype(jnp.float32)
@@ -129,7 +174,9 @@ def main() -> dict:
             nms_box=args.nms_box,
             pre_top_k=args.top_k,
             keep_top_k=args.keep_top_k,
-            multi_label=True,
+            agnostic=args.agnostic or args.single_cls,
+            nms_type=args.nms_type,
+            multi_label=not args.single_cls,
         )
 
     writer = ResultWriter(args.json_path)
@@ -167,15 +214,37 @@ def main() -> dict:
             data_cfg["val_path"], img_size=img_size, batch_size=args.batch_size,
             stride=stride, n_skip=args.n_skip,
             label_type="segments" if str(data_cfg.get("dataset", "")).lower() == "coco" else "labels",
+            single_cls=args.single_cls,
         )
         gt = yolo_labels_to_coco_json(label_ds)
 
-    evaluator = COCOmAPEvaluator(gt, cat_from_yolo=False)
+    export_root = args.export
+    if args.plot and not export_root:
+        from ayolov2_tpu.utils.config import make_run_dir
+
+        export_root = str(make_run_dir(args.dst, "val2"))
+    evaluator = COCOmAPEvaluator(gt, cat_from_yolo=False, export_root=export_root or None)
     metrics = evaluator.evaluate(results, max_det=args.keep_top_k)
+    if args.plot or args.export or args.verbose >= 2:
+        # per-class tabulate report (+ pred-vs-GT renders when exporting)
+        evaluator.evaluate_per_class(results, debug=bool(args.export))
     t.add("eval")
     LOGGER.info("COCO eval: %s", {k: round(v, 4) for k, v in metrics.items()})
     LOGGER.info("%s", t)
 
+    if args.no_coco:
+        pass
+    else:
+        _pycoco_crosscheck(gt, args.json_path)
+
+    if args.check_map >= 0:
+        assert metrics["map50"] >= args.check_map, (
+            f"mAP50 {metrics['map50']:.4f} < required {args.check_map}"
+        )
+    return metrics
+
+
+def _pycoco_crosscheck(gt, json_path: str) -> None:
     try:  # cross-check with pycocotools when available (val2.py:298-309)
         from pycocotools.coco import COCO
         from pycocotools.cocoeval import COCOeval
@@ -184,17 +253,11 @@ def main() -> dict:
         if not isinstance(gt, str):
             coco_gt.dataset = gt
             coco_gt.createIndex()
-        coco_dt = coco_gt.loadRes(args.json_path)
+        coco_dt = coco_gt.loadRes(json_path)
         ev = COCOeval(coco_gt, coco_dt, "bbox")
         ev.evaluate(); ev.accumulate(); ev.summarize()
     except ImportError:
         pass
-
-    if args.check_map >= 0:
-        assert metrics["map50"] >= args.check_map, (
-            f"mAP50 {metrics['map50']:.4f} < required {args.check_map}"
-        )
-    return metrics
 
 
 if __name__ == "__main__":

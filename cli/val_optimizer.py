@@ -63,9 +63,27 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gamma", type=float, default=4.0, help="mAP50 weight")
     parser.add_argument("--base-map50", type=float, default=-1.0,
                         help="punishment floor (default: baseline run's mAP50)")
+    parser.add_argument("--base-time", type=float, default=-1.0,
+                        help="baseline val wall time; with --base-map50 skips the baseline run")
     parser.add_argument("--storage", type=str, default="val_optimizer_study.json")
     parser.add_argument("--study-name", type=str, default="val_optimizer")
     parser.add_argument("--load-if-exists", action="store_true")
+    parser.add_argument("--load-study", action="store_true",
+                        help="reference alias of --load-if-exists")
+    parser.add_argument("--device", type=str, default="",
+                        help="reference-CLI parity (GPU id); logged only on TPU")
+    parser.add_argument("--half", action="store_true",
+                        help="reference-CLI parity: bf16 is the default")
+    parser.add_argument("--rect", action="store_true", dest="rect", default=True)
+    parser.add_argument("--no-rect", action="store_false", dest="rect")
+    parser.add_argument("--single-cls", action="store_true")
+    parser.add_argument("--plot", action="store_true",
+                        help="accepted for parity; trial validations skip plots")
+    parser.add_argument("--verbose", type=int, nargs="?", const=1, default=1)
+    parser.add_argument("--run-json", action="store_true",
+                        help="optimize over the COCO-json path (val2-style scoring)")
+    parser.add_argument("--json-path", type=str, default="",
+                        help="prediction JSON to score when --run-json is set")
     return parser
 
 
@@ -88,8 +106,14 @@ class ObjectiveValidator:
         # always; it matters only when comparing different checkpoints
         # offline (the reference normalizes against a wandb yolov5x run,
         # objective_validator.py:65-68).
-        base, self.baseline_t = self._timed_validate(640, 0.001, 0.65)
-        self.baseline_map50 = max(base["map50"], 1e-9)
+        if args.base_map50 >= 0 and args.base_time >= 0:
+            # both baseline numbers supplied: skip the baseline validation
+            # entirely (reference val_optimizer.py --base-map50/--base-time)
+            self.baseline_map50 = max(args.base_map50, 1e-9)
+            self.baseline_t = args.base_time
+        else:
+            base, self.baseline_t = self._timed_validate(640, 0.001, 0.65)
+            self.baseline_map50 = max(base["map50"], 1e-9)
         self.baseline_params = self.model_params
         self.base_map50_floor = (
             args.base_map50 if args.base_map50 >= 0 else self.baseline_map50
@@ -113,21 +137,84 @@ class ObjectiveValidator:
         return result, time.monotonic() - t0
 
     def _validate(self, img_width: int, conf_t: float, iou_t: float) -> dict:
+        if getattr(self.args, "run_json", False):
+            return self._validate_json(img_width, conf_t, iou_t)
         model = build_model(self.model_cfg, dtype=jnp.bfloat16, fused=True,
                             nc=int(self.data_cfg["nc"]))
         stride = int(max(model.stride))
         w = check_img_size(img_width, stride)
         dataset = DetectionDataset(
             self.data_cfg["val_path"], img_size=w, batch_size=self.args.batch_size,
-            rect=True, pad=0.5, stride=stride, n_skip=self.args.n_skip,
+            rect=getattr(self.args, "rect", True), pad=0.5, stride=stride,
+            n_skip=self.args.n_skip,
             label_type="segments" if str(self.data_cfg.get("dataset", "")).lower() == "coco" else "labels",
+            single_cls=getattr(self.args, "single_cls", False),
         )
         loader = DataLoader(dataset, batch_size=self.args.batch_size)
         v = YoloValidator(
             model, self.variables, loader,
-            cfg={"conf_t": conf_t, "iou_t": iou_t},
+            cfg={"conf_t": conf_t, "iou_t": iou_t,
+                 "single_cls": getattr(self.args, "single_cls", False)},
         )
         return v.validation()
+
+    def _validate_json(self, img_width: int, conf_t: float, iou_t: float) -> dict:
+        """--run-json: score trials through the COCO-json benchmark path
+        (reference val_optimizer.py run_json -> val2 machinery): image-only
+        loader -> fused forward + batched NMS -> COCOmAPEvaluator."""
+        from ayolov2_tpu.data import ImageFolderDataset
+        from ayolov2_tpu.ops.nms import batched_nms
+        from ayolov2_tpu.utils.metrics import COCOmAPEvaluator
+        from ayolov2_tpu.utils.result_writer import (
+            ResultWriter,
+            yolo_labels_to_coco_json,
+        )
+
+        model = build_model(self.model_cfg, dtype=jnp.bfloat16, fused=True,
+                            nc=int(self.data_cfg["nc"]))
+        stride = int(max(model.stride))
+        w = check_img_size(img_width, stride)
+        dataset = ImageFolderDataset(
+            self.data_cfg["val_path"], img_size=w, batch_size=self.args.batch_size,
+            rect=getattr(self.args, "rect", True), pad=0.5, stride=stride,
+            n_skip=self.args.n_skip,
+        )
+        loader = DataLoader(dataset, batch_size=self.args.batch_size, detection=False)
+        variables = self.variables
+
+        @jax.jit
+        def serve(images):
+            imgs = images.astype(jnp.bfloat16) / jnp.asarray(255.0, jnp.bfloat16)
+            pred = model.apply(variables, imgs, training=False)[0].astype(jnp.float32)
+            return batched_nms(pred, conf_thres=conf_t, iou_thres=iou_t,
+                               pre_top_k=512, keep_top_k=100, multi_label=True)
+
+        out_json = self.args.json_path or "val_optimizer_trial.json"
+        writer = ResultWriter(out_json)
+        writer.start()
+        import numpy as np
+
+        for images, metas, indices, n_real in loader:
+            h, wi = images.shape[1:3]
+            det, n_valid = serve(jnp.asarray(images))
+            paths = [dataset.img_files[i] for i in indices]
+            writer.add_outputs(paths, np.asarray(det)[:n_real],
+                               np.asarray(n_valid)[:n_real], (h, wi), metas)
+        results = writer.close()
+
+        if self._gt_json is None:
+            from ayolov2_tpu.data import DetectionDataset as _DD
+
+            label_ds = _DD(
+                self.data_cfg["val_path"], img_size=w, batch_size=self.args.batch_size,
+                stride=stride, n_skip=self.args.n_skip,
+                label_type="segments" if str(self.data_cfg.get("dataset", "")).lower() == "coco" else "labels",
+            )
+            self._gt_json = yolo_labels_to_coco_json(label_ds)
+        metrics = COCOmAPEvaluator(self._gt_json, cat_from_yolo=False).evaluate(results)
+        return {"map50": metrics["map50"], "map50_95": metrics["map50_95"]}
+
+    _gt_json = None
 
     def calc_objective_fn(self, t: float, map50: float) -> float:
         param_score = self.args.alpha * (self.baseline_params / self.model_params)
@@ -154,6 +241,12 @@ class ObjectiveValidator:
 
 def main() -> None:
     args = get_parser().parse_args()
+    if args.device:
+        LOGGER.info("--device=%s accepted for reference-CLI parity; running on "
+                    "the ambient JAX devices", args.device)
+    if args.run_json:
+        LOGGER.info("--run-json: trials score the COCO-json path "
+                    "(cli/val2.py machinery); --json-path=%s", args.json_path or "<auto>")
     data_cfg = load_yaml(args.data_cfg)
     space = load_yaml(args.optim_cfg)
 
@@ -166,7 +259,7 @@ def main() -> None:
         direction="maximize",
         storage=args.storage,
         study_name=args.study_name,
-        load_if_exists=args.load_if_exists,
+        load_if_exists=args.load_if_exists or args.load_study,
     )
     study.optimize(objective, n_trials=args.n_trials)
     LOGGER.info("best value %.5f with params %s", study.best_value, study.best_params)
