@@ -61,27 +61,56 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip-validation", action="store_true")
     parser.add_argument("--out", type=str, default="", help="output ckpt path")
+    parser.add_argument("-ih", "--img-height", type=int, default=-1)
+    parser.add_argument("-ct", "--conf-t", type=float, default=0.001)
+    parser.add_argument("-it", "--iou-t", type=float, default=0.65)
+    parser.add_argument("--device", type=str, default="",
+                        help="reference-CLI parity (GPU id); logged only on TPU")
+    parser.add_argument("--dst", type=str, default="",
+                        help="export dir: {dst}/decompose/{DATE}_runs (else next to ckpt)")
+    parser.add_argument("--rect", action="store_true", dest="rect", default=True)
+    parser.add_argument("--no-rect", action="store_false", dest="rect")
+    parser.add_argument("--single-cls", action="store_true")
+    parser.add_argument("--plot", action="store_true",
+                        help="save before/after validation plots under dst")
     return parser
 
 
-def run_validation(model_cfg, variables, data_cfg, img_size, batch_size, decompose_map=()):
+def run_validation(model_cfg, variables, data_cfg, img_size, batch_size,
+                   decompose_map=(), args=None):
     model = build_model(model_cfg, dtype=jnp.bfloat16, nc=int(data_cfg["nc"]),
                         decompose_map=decompose_map)
     stride = int(max(model.stride))
+    rect = getattr(args, "rect", True)
+    single_cls = getattr(args, "single_cls", False)
     dataset = DetectionDataset(
-        data_cfg["val_path"], img_size=img_size, batch_size=batch_size, rect=True,
-        pad=0.5, stride=stride,
+        data_cfg["val_path"], img_size=img_size, batch_size=batch_size, rect=rect,
+        pad=0.5, stride=stride, single_cls=single_cls,
         label_type="segments" if str(data_cfg.get("dataset", "")).lower() == "coco" else "labels",
     )
     loader = DataLoader(dataset, batch_size=batch_size)
-    v = YoloValidator(model, variables, loader, cfg={})
+    cfg = {"single_cls": single_cls}
+    if args is not None:
+        cfg.update(conf_t=args.conf_t, iou_t=args.iou_t)
+        if getattr(args, "plot", False) and getattr(args, "_plot_dir", None):
+            cfg["plot_dir"] = args._plot_dir
+    v = YoloValidator(model, variables, loader, cfg=cfg)
     return v.validation()
 
 
 def main() -> None:
     args = get_parser().parse_args()
+    if args.device:
+        LOGGER.info("--device=%s accepted for reference-CLI parity", args.device)
+    if args.img_height < 0:
+        args.img_height = args.img_width
     data_cfg = load_yaml(args.data_cfg)
-    img_size = check_img_size(args.img_width, 32)
+    img_size = check_img_size(max(args.img_width, args.img_height), 32)
+    args._plot_dir = None
+    if args.dst:
+        from ayolov2_tpu.utils.config import make_run_dir
+
+        args._plot_dir = str(make_run_dir(args.dst, "decompose"))
 
     variables, meta = load_variables(args.weights, prefer_ema=True)
     model_cfg = args.model_cfg or (json.loads(meta["model_cfg"]) if meta.get("model_cfg") else None)
@@ -92,7 +121,7 @@ def main() -> None:
     n_before = count_params(variables["params"])
     result_before = None
     if not args.skip_validation:
-        result_before = run_validation(model_cfg, variables, data_cfg, img_size, args.batch_size)
+        result_before = run_validation(model_cfg, variables, data_cfg, img_size, args.batch_size, args=args)
 
     decompose_map, new_params, report = decompose_model(
         variables["params"],
@@ -108,12 +137,17 @@ def main() -> None:
     result_after = None
     if not args.skip_validation:
         result_after = run_validation(
-            model_cfg, new_vars, data_cfg, img_size, args.batch_size, decompose_map
+            model_cfg, new_vars, data_cfg, img_size, args.batch_size, decompose_map, args=args
         )
 
-    out = args.out or str(Path(args.weights).with_name(
-        Path(args.weights).stem + f"_decomposed_seed_{args.seed}.ckpt"
-    ))
+    if args.out:
+        out = args.out
+    elif args._plot_dir:
+        out = str(Path(args._plot_dir) / (Path(args.weights).stem + f"_decomposed_seed_{args.seed}.ckpt"))
+    else:
+        out = str(Path(args.weights).with_name(
+            Path(args.weights).stem + f"_decomposed_seed_{args.seed}.ckpt"
+        ))
     payload = {
         "meta": {
             **{k: meta.get(k, 0) for k in ("version", "epoch", "best_score", "map50", "ema_updates", "step")},

@@ -51,11 +51,25 @@ def get_parser() -> argparse.ArgumentParser:
                         help="unlabeled image dir (default: train_path without labels)")
     parser.add_argument("--cfg", type=str, default="res/configs/cfg/distillation.yaml")
     parser.add_argument("--log-dir", type=str, default="runs")
+    parser.add_argument("--teacher-cfg", type=str, default="",
+                        help="teacher model YAML (else from the teacher ckpt meta)")
+    parser.add_argument("--resume", type=str, default="",
+                        help="student checkpoint to resume/transfer from")
+    parser.add_argument("--device", type=str, default="",
+                        help="reference-CLI parity (student GPU id); logged only")
+    parser.add_argument("--teacher-device", type=str, default="",
+                        help="reference-CLI parity (teacher GPU id); logged only — "
+                             "teacher and student share the jitted program here")
+    parser.add_argument("--wlog", action="store_true", help="enable wandb if available")
+    parser.add_argument("--wlog-name", type=str, default="", help="wandb run name")
     return parser
 
 
 def main() -> None:
     args = get_parser().parse_args()
+    if args.device or args.teacher_device:
+        LOGGER.info("--device/--teacher-device accepted for reference-CLI parity; "
+                    "teacher+student run in one jitted program on the ambient devices")
     cfg = load_yaml(args.cfg)
     data_cfg = load_yaml(args.data)
     tcfg = cfg["train"]
@@ -64,7 +78,10 @@ def main() -> None:
 
     # teacher: fused eval graph from its checkpoint
     t_vars, t_meta = load_variables(args.teacher, prefer_ema=True)
-    t_cfg = json.loads(t_meta["model_cfg"]) if t_meta.get("model_cfg") else args.model
+    if args.teacher_cfg:
+        t_cfg = parse_model_config(args.teacher_cfg)
+    else:
+        t_cfg = json.loads(t_meta["model_cfg"]) if t_meta.get("model_cfg") else args.model
     teacher = build_model(t_cfg, dtype=jnp.bfloat16, fused=True, nc=nc)
     t_vars = fuse_params(t_vars)
 
@@ -73,6 +90,13 @@ def main() -> None:
     student = build_model(model_cfg, dtype=jnp.float32, nc=nc)
     img_size = check_img_size(int(tcfg["image_size"]), int(max(student.stride)))
     s_vars = init_model(student, jax.random.PRNGKey(0), img_size=img_size)
+    if args.resume:
+        from ayolov2_tpu.utils.checkpoint import intersect_trees
+
+        r_vars, _ = load_variables(args.resume, prefer_ema=True)
+        merged, n_match, n_total = intersect_trees(r_vars["params"], s_vars["params"])
+        s_vars = {"params": merged, "batch_stats": s_vars.get("batch_stats", {})}
+        LOGGER.info("resumed %d/%d student tensors from %s", n_match, n_total, args.resume)
 
     common = dict(
         img_size=img_size, batch_size=int(tcfg["batch_size"]),

@@ -58,6 +58,22 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--platforms", type=str, default="", help="comma list, e.g. cpu,tpu")
     parser.add_argument("--no-dry-run", action="store_true")
     parser.add_argument("--out", type=str, default="")
+    parser.add_argument("--dst", type=str, default="",
+                        help="export directory (reference --dst); default next to the ckpt")
+    parser.add_argument("--dtype", type=str, default="fp16", choices=["fp16", "int8", "fp32"],
+                        help="reference --dtype: fp16 maps to bf16 here (MXU native); "
+                             "fp32 = --no-half; int8 is TensorRT-only upstream and "
+                             "unsupported on this path")
+    parser.add_argument("--rect", action="store_true", dest="rect", default=True,
+                        help="reference parity: exported graphs are fixed-shape; "
+                             "rect affects only the val-side loader")
+    parser.add_argument("--no-rect", action="store_false", dest="rect")
+    parser.add_argument("--opset", type=int, default=11,
+                        help="reference-CLI parity (ONNX opset); StableHLO export "
+                             "has no opset — value is logged only")
+    parser.add_argument("--gpu-mem", type=int, default=6,
+                        help="reference-CLI parity (TensorRT workspace GiB); logged only")
+    parser.add_argument("--verbose", type=int, nargs="?", const=1, default=1)
     return parser
 
 
@@ -65,6 +81,11 @@ def main() -> None:
     args = get_parser().parse_args()
     if args.img_height < 0:
         args.img_height = args.img_width
+    if args.dtype == "fp32":
+        args.no_half = True
+    elif args.dtype == "int8":
+        raise SystemExit("--dtype int8 is a TensorRT-only path upstream; "
+                         "this exporter emits bf16/fp32 StableHLO artifacts")
 
     variables, meta = load_variables(args.weights, prefer_ema=True)
     model_cfg = json.loads(meta["model_cfg"]) if meta.get("model_cfg") else None
@@ -75,9 +96,15 @@ def main() -> None:
         model_cfg = new_cfg
     assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"
 
-    out = args.out or str(Path(args.weights).with_name(
-        Path(args.weights).stem + f"_{args.type}"
-    ))
+    if args.out:
+        out = args.out
+    elif args.dst:
+        Path(args.dst).mkdir(parents=True, exist_ok=True)
+        out = str(Path(args.dst) / (Path(args.weights).stem + f"_{args.type}"))
+    else:
+        out = str(Path(args.weights).with_name(
+            Path(args.weights).stem + f"_{args.type}"
+        ))
     platforms = tuple(args.platforms.split(",")) if args.platforms else None
     paths = export_serving(
         model_cfg,

@@ -55,6 +55,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use-swa", action="store_true", help="save per-epoch ckpts for SWA")
     parser.add_argument("--resume", type=str, default="", help="checkpoint to resume from")
     parser.add_argument("--n-devices", type=int, default=0, help="limit device count (0 = all)")
+    parser.add_argument("--local_rank", type=int, default=-1,
+                        help="reference-CLI parity (torch DDP launcher rank); the mesh "
+                             "runtime derives rank from jax.process_index() — logged only")
     return parser
 
 

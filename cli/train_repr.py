@@ -43,6 +43,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data", type=str, default="res/configs/data/coco.yaml")
     parser.add_argument("--cfg", type=str, default="res/configs/cfg/train_config_repr.yaml")
     parser.add_argument("--log-dir", type=str, default="runs")
+    parser.add_argument("--rl-type", type=str, default="",
+                        choices=["", "base", "simclr"],
+                        help="representation-learning type (overrides the cfg)")
     return parser
 
 
@@ -51,7 +54,7 @@ def main() -> None:
     cfg = load_yaml(args.cfg)
     data_cfg = load_yaml(args.data)
     tcfg = cfg["train"]
-    rl_type = tcfg.get("rl_type", "base")
+    rl_type = args.rl_type or tcfg.get("rl_type", "base")
 
     model_cfg = parse_model_config(args.model)
     model = build_model(model_cfg, dtype=jnp.float32)
