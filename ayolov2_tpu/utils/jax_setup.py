@@ -33,6 +33,17 @@ def _machine_tag() -> str:
 def setup(cache_dir: str = "") -> None:
     import jax
 
+    # Honor an explicit JAX_PLATFORMS from the environment: the ambient
+    # sitecustomize pins the tunneled TPU backend and the env var alone is
+    # not enough in subprocesses (the config must be updated before the
+    # backend initializes) — same belt-and-braces as tests/conftest.py.
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat and "tpu" not in plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     cache = cache_dir or os.environ.get(
         "AYOLO_JAX_CACHE", f"/root/.cache/jax_comp_cache_{_machine_tag()}"
     )
