@@ -6,7 +6,8 @@ from scratch with res/configs/cfg/train_golden.yaml (250 epochs @320 on the
 the best held-out mAP50 against a hard floor set at ~90% of the best
 recorded run (see STATUS.md "Accuracy golden" for the recorded values).
 
-Long (tens of minutes on TPU, hours on 1 CPU core) — gated behind
+Long (30 min to a few hours depending on the host's CPU for the mosaic
+loader; the TPU step itself is ~1 s/epoch) — gated behind
 AYOLO_GOLDEN_TEST=1. Run it whenever the trainer/loss/augmentation stack
 changes materially:
 
