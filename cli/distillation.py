@@ -50,18 +50,18 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--unlabeled-path", type=str, default="",
                         help="unlabeled image dir (default: train_path without labels)")
     parser.add_argument("--cfg", type=str, default="res/configs/cfg/distillation.yaml")
-    parser.add_argument("--log-dir", type=str, default="runs")
-    parser.add_argument("--teacher-cfg", type=str, default="",
+    parser.add_argument("--log-dir", "--log_dir", type=str, default="runs")
+    parser.add_argument("--teacher-cfg", "--teacher_cfg", type=str, default="",
                         help="teacher model YAML (else from the teacher ckpt meta)")
     parser.add_argument("--resume", type=str, default="",
                         help="student checkpoint to resume/transfer from")
     parser.add_argument("--device", type=str, default="",
                         help="reference-CLI parity (student GPU id); logged only")
-    parser.add_argument("--teacher-device", type=str, default="",
+    parser.add_argument("--teacher-device", "--teacher_device", type=str, default="",
                         help="reference-CLI parity (teacher GPU id); logged only — "
                              "teacher and student share the jitted program here")
     parser.add_argument("--wlog", action="store_true", help="enable wandb if available")
-    parser.add_argument("--wlog-name", type=str, default="", help="wandb run name")
+    parser.add_argument("--wlog-name", "--wlog_name", type=str, default="", help="wandb run name")
     return parser
 
 

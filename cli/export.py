@@ -53,7 +53,7 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("-ct", "--conf-t", type=float, default=0.001)
     parser.add_argument("-it", "--iou-t", type=float, default=0.65)
     parser.add_argument("--top-k", type=int, default=512)
-    parser.add_argument("--keep-top-k", type=int, default=100)
+    parser.add_argument("-ktk", "--keep-top-k", type=int, default=100)
     parser.add_argument("--no-half", action="store_true")
     parser.add_argument("--platforms", type=str, default="", help="comma list, e.g. cpu,tpu")
     parser.add_argument("--no-dry-run", action="store_true")

@@ -50,9 +50,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data", type=str, default="res/configs/data/coco.yaml")
     parser.add_argument("--cfg", type=str, default="res/configs/cfg/train_config.yaml")
     parser.add_argument("--wlog", action="store_true", help="enable wandb logging if available")
-    parser.add_argument("--wlog-name", type=str, default="", help="wandb run name")
-    parser.add_argument("--log-dir", type=str, default="runs", help="log root directory")
-    parser.add_argument("--use-swa", action="store_true", help="save per-epoch ckpts for SWA")
+    parser.add_argument("--wlog-name", "--wlog_name", type=str, default="", help="wandb run name")
+    parser.add_argument("--log-dir", "--log_dir", type=str, default="runs", help="log root directory")
+    parser.add_argument("--use-swa", "--use_swa", action="store_true", help="save per-epoch ckpts for SWA")
     parser.add_argument("--resume", type=str, default="", help="checkpoint to resume from")
     parser.add_argument("--n-devices", type=int, default=0, help="limit device count (0 = all)")
     parser.add_argument("--local_rank", type=int, default=-1,

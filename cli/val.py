@@ -75,7 +75,7 @@ def get_parser() -> argparse.ArgumentParser:
                              "here (bf16); use --no-half for fp32")
     parser.add_argument("--tta-cfg", type=str, default="res/configs/cfg/tta.yaml",
                         help="TTA scales/flips YAML (reference res/configs/cfg/tta.yaml)")
-    parser.add_argument("--nms-type", type=str, default="nms",
+    parser.add_argument("--nms-type", "--nms_type", type=str, default="nms",
                         choices=["nms", "batched_nms", "fast_nms", "matrix_nms", "merge_nms"])
     parser.add_argument("--max-det", type=int, default=300)
     parser.add_argument("--single-cls", action="store_true")

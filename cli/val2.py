@@ -58,7 +58,7 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("-ct", "--conf-t", type=float, default=0.001)
     parser.add_argument("-it", "--iou-t", type=float, default=0.65)
-    parser.add_argument("--nms-type", type=str, default="nms")
+    parser.add_argument("--nms-type", "--nms_type", type=str, default="nms")
     parser.add_argument("--top-k", type=int, default=512)
     parser.add_argument("--keep-top-k", type=int, default=100)
     parser.add_argument("--nms-box", type=int, default=1000)
@@ -87,7 +87,7 @@ def get_parser() -> argparse.ArgumentParser:
                         help="per-class report + plots under the dst run dir")
     parser.add_argument("--export", type=str, default="",
                         help="write pred-vs-GT debug renders to this dir")
-    parser.add_argument("--no-coco", action="store_true",
+    parser.add_argument("--no-coco", "--no_coco", action="store_true",
                         help="skip the pycocotools cross-check")
     parser.add_argument("--verbose", type=int, nargs="?", const=1, default=1)
     parser.add_argument("--check-map", type=float, default=-1.0,
