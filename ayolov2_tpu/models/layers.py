@@ -109,6 +109,16 @@ class _S2DConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.mode == "slice" and jax.default_backend() == "tpu":
+            # Twice-reproduced kernel fault: slice mode at (32,640,640,3)
+            # crashes/hangs the TPU worker on this toolchain (minutes of
+            # recovery). A config value must never be able to fault the
+            # worker, so this is a hard error, not a warning.
+            raise ValueError(
+                "s2d_stem='slice' faults the TPU worker on this toolchain "
+                "(see models/layers.py s2d notes); use 'reshape'/'im2col' "
+                "or s2d_stem=False on TPU backends"
+            )
         x = x.astype(self.dtype)
         cin = x.shape[-1]
         assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, "s2d stem needs even H/W"

@@ -44,6 +44,19 @@ def setup(cache_dir: str = "") -> None:
         except Exception:
             pass
 
+    # NEVER persist XLA:CPU executables: deserializing a CPU entry loads an
+    # AOT result whose compile-machine string embeds LLVM *tune* flags
+    # (+prefer-no-gather/+prefer-no-scatter) that host feature detection
+    # never reports — cpu_aot_loader then warns "could lead to SIGILL" even
+    # for an entry compiled seconds earlier on the SAME host (reproduced
+    # with a fresh cache). No cpuinfo-based dir keying can make that
+    # mismatch a miss, so CPU runs (tests, the driver's multichip dryrun)
+    # simply skip the persistent cache; TPU compiles — the expensive ones
+    # through the tunnel — keep it.
+    resolved = plat or ("cpu" if jax.config.jax_platforms == "cpu" else "")
+    if "cpu" in (resolved or "").lower():
+        return
+
     cache = cache_dir or os.environ.get(
         "AYOLO_JAX_CACHE", f"/root/.cache/jax_comp_cache_{_machine_tag()}"
     )

@@ -251,3 +251,16 @@ def test_s2d_stem_exact_equivalence(mode):
     ref, _ = plain.apply(variables, x.astype(jnp.float32), training=False)
     got, _ = s2d.apply(variables, x.astype(jnp.float32), training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_slice_mode_guarded_on_tpu(monkeypatch):
+    """s2d_stem='slice' must hard-error on a TPU backend — it faults the
+    TPU worker at full size on this toolchain (twice reproduced; minutes of
+    recovery). VERDICT r2 weak #4."""
+    import numpy as np
+
+    model = build_model("res/configs/model/yolov5s.yaml", dtype=jnp.float32, s2d_stem="slice")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="faults the TPU worker"):
+        model.init(jax.random.PRNGKey(0), x, training=False)
