@@ -125,14 +125,24 @@ class DataLoader:
             else:
                 order = rng.permutation(n)
         idx, cnt = self.shard
+        if cnt > 1 and len(order):
+            # Equalize per-host lengths (DistributedSampler semantics): pad
+            # the order to cnt*ceil(n/cnt) by wrapping so every host yields
+            # the identical batch count — a host with one extra batch would
+            # call the collective pjit step alone and deadlock the job, and
+            # per-host steps_per_epoch (hence LR schedules) would diverge.
+            per = -(-len(order) // cnt)
+            total = per * cnt
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
         return order[idx::cnt]
 
-    def _build(self, b: np.ndarray, n_real: int, pos0: int = 0):
+    def _build(self, b: np.ndarray, n_real: int, pos0: int = 0, stride: int = 1):
         get = getattr(self.dataset, "get_item", None)
         if get is not None:
             # epoch-position salt: repeated indices (weighted resampling)
             # must draw fresh augmentations (datasets._item_rng)
-            items = [get(int(i), pos0 + j) for j, i in enumerate(b)]
+            items = [get(int(i), pos0 + stride * j) for j, i in enumerate(b)]
         else:
             items = [self.dataset[int(i)] for i in b]
         if self.detection:
@@ -185,7 +195,16 @@ class DataLoader:
                     else:
                         return
                 try:
-                    built = self._build(batches[i], n_real[i], pos0=i * self.batch_size)
+                    # GLOBAL epoch-position salt (shard-unique): two hosts at
+                    # the same local position must not seed identical
+                    # augmentation RNG for a resampled duplicate index
+                    sidx, scnt = self.shard
+                    built = self._build(
+                        batches[i],
+                        n_real[i],
+                        pos0=sidx + scnt * (i * self.batch_size),
+                        stride=scnt,
+                    )
                 except BaseException as e:  # propagate to the consumer
                     with cond:
                         errors.append(e)

@@ -94,6 +94,13 @@ class YoloValidator:
 
             self.confusion = ConfusionMatrix(self.nc)
 
+        # Through the tunneled "axon" backend block_until_ready returns
+        # before device completion — only a D2H read is a true barrier
+        # (bench.py methodology). Phase timings use a 1-element readback
+        # there so the reported pre/infer/NMS ms/img is honest; on direct
+        # backends block_until_ready is a real barrier and stays free.
+        self._tunneled = "axon" in str(getattr(jax.config, "jax_platforms", "") or "")
+
         self._forward = jax.jit(self._forward_impl) if model is not None else None
         self._nms = None  # built lazily once prediction width is known
         # fused decode+NMS serving path: usable when the loop needs no raw
@@ -269,14 +276,23 @@ class YoloValidator:
         loss_fn = None
         if self.compute_loss is not None and not self.tta:
             loss_fn = jax.jit(
-                lambda raw, t, m: self.compute_loss([r.astype(jnp.float32) for r in raw], t, m)[1]
+                lambda raw, t, m, w: self.compute_loss(
+                    [r.astype(jnp.float32) for r in raw], t, m, image_weight=w
+                )[1]
             )
+
+        def _barrier(x):
+            # true device-completion barrier (see self._tunneled note)
+            if self._tunneled:
+                jax.device_get(jnp.ravel(x)[0])
+            else:
+                x.block_until_ready()
 
         for batch in self.loader:
             bs, h, w = batch.images.shape[0], batch.images.shape[1], batch.images.shape[2]
             t0 = time.perf_counter()
             images = jnp.asarray(batch.images)
-            images.block_until_ready()
+            _barrier(images)
             t1 = time.perf_counter()
 
             if self.detection_fn is not None:
@@ -284,26 +300,38 @@ class YoloValidator:
                 # from the artifact (convert_trt_out consumption semantics)
                 det, n_valid = self.detection_fn(images)
                 det = jnp.asarray(det)
-                det.block_until_ready()
+                _barrier(det)
                 t2 = t3 = time.perf_counter()
             elif self.use_fused:
                 det, n_valid = self._fused_step((h, w))(self.variables, images)
-                det.block_until_ready()
+                _barrier(det)
                 t2 = t3 = time.perf_counter()
             else:
                 pred, raw = self._forward(self.variables, images)
-                pred.block_until_ready()
+                _barrier(pred)
                 t2 = time.perf_counter()
 
                 if loss_fn is not None and raw is not None:
-                    items = loss_fn(raw, jnp.asarray(batch.targets), jnp.asarray(batch.target_mask))
+                    # exclude padded final-batch rows from the loss exactly:
+                    # mask their target slots and weight their images 0 so
+                    # the reported val loss matches the reference's
+                    # short-last-batch averaging (ADVICE r2)
+                    nr = getattr(batch, "n_real", bs)
+                    t_mask = batch.target_mask & (batch.targets[:, 0] < nr)
+                    img_w = (np.arange(bs) < nr).astype(np.float32)
+                    items = loss_fn(
+                        raw,
+                        jnp.asarray(batch.targets),
+                        jnp.asarray(t_mask),
+                        jnp.asarray(img_w),
+                    )
                     loss_sum += np.asarray(items)[:3]
 
                 if self.hybrid_label:
                     wh = jnp.asarray([w, h], jnp.float32)
                     pred = self._inject_labels(pred, jnp.asarray(batch.targets), jnp.asarray(batch.target_mask), wh)
                 det, n_valid = self._run_nms(pred)
-                det.block_until_ready()
+                _barrier(det)
                 t3 = time.perf_counter()
 
             dt += (t1 - t0, t2 - t1, t3 - t2)

@@ -23,7 +23,7 @@ math — no host sync, no dynamic shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -146,6 +146,7 @@ class ComputeLoss:
         preds: List[jax.Array],
         targets: jax.Array,
         target_mask: jax.Array,
+        image_weight: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Compute the loss.
 
@@ -153,6 +154,12 @@ class ComputeLoss:
             preds: nl raw head maps (bs, ny, nx, na, 5+nc) — NHWC head layout.
             targets: (M, 6) [img_idx, cls, x, y, w, h] normalized, zero-padded.
             target_mask: (M,) validity of each row.
+            image_weight: optional (bs,) 0/1 row validity — the objectness
+                mean is taken over valid images only, so a padded final val
+                batch reproduces the reference's short-last-batch loss
+                exactly (train_utils.py:285-292 semantics; padded rows'
+                targets must also be masked out of ``target_mask`` by the
+                caller).
 
         Returns:
             (total_loss * bs, [lbox, lobj, lcls, total]) — the reference
@@ -238,7 +245,14 @@ class ComputeLoss:
 
             obj_bce = _bce_with_logits(pred[..., 4], tobj, hyp["obj_pw"])
             obj_bce = self._modulate(obj_bce, pred[..., 4], tobj, gamma)
-            lobj = lobj + obj_bce.mean() * self.balance[li]
+            if image_weight is not None:
+                w = image_weight.astype(jnp.float32)
+                obj_mean = (obj_bce * w[:, None, None, None]).sum() / (
+                    jnp.maximum(w.sum(), 1.0) * ny * nx * na
+                )
+            else:
+                obj_mean = obj_bce.mean()
+            lobj = lobj + obj_mean * self.balance[li]
 
             # --- classification (losses.py:276-280) -----------------------
             if self.nc > 1:

@@ -13,16 +13,21 @@ A100 TensorRT fp16 yolov5s end-to-end throughput at batch 32 (the
 BASELINE.json north star is >2x this on a v5e chip; the reference publishes
 no hard number, README.md:275 reports 21.2 ms/img for yolov5x on an
 unspecified GPU).
+
+Robustness (VERDICT r2 task 1): the measurement runs in a child process
+under a watchdog. If the child hangs past the deadline — the classic
+signature of a stale process still holding the axon tunnel (CLAUDE.md: the
+tunnel serializes clients; a second client's compile just blocks) — the
+parent prints diagnostics (including any other python processes that may
+hold the tunnel) and retries once. The child emits timestamped progress
+markers to stderr so a timeout tail shows exactly where it died.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
-
-from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
-
-_jax_setup()
 
 A100_TRT_YOLOV5S_IMG_PER_SEC = 1000.0  # documented estimate, see module docstring
 
@@ -30,15 +35,34 @@ BATCH = 32
 SIZE = 640
 WARMUP = 3
 ITERS = 20
+# One attempt must comfortably cover a COLD compile through the tunnel
+# (~1-4 min for yolov5s@640) yet leave room for a retry inside the
+# driver's budget; the persistent compile cache (prewarmed at round end)
+# makes the normal case ~60-90 s total.
+CHILD_TIMEOUT_S = float(os.environ.get("AYOLO_BENCH_CHILD_TIMEOUT", 260))
 
 
-def main() -> None:
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def child_main() -> None:
+    from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
+
+    _jax_setup()
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ayolov2_tpu.models import build_model, fuse_params
     from ayolov2_tpu.models.yolo_head import YOLOHead
     from ayolov2_tpu.ops.nms import flat_grid_meta, flatten_raw_maps, fused_decode_nms
+
+    _log(f"backend={jax.default_backend()} devices={len(jax.devices())}")
 
     model = build_model("res/configs/model/yolov5s.yaml", dtype=jnp.bfloat16, fused=True)
     # fused-conv params: init unfused stats then fold (serving-path parity with
@@ -46,6 +70,7 @@ def main() -> None:
     unfused = build_model("res/configs/model/yolov5s.yaml", dtype=jnp.bfloat16)
     variables = unfused.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.uint8), training=False)
     fused = fuse_params(variables)
+    _log("model built + params fused")
 
     head = YOLOHead(nc=model.nc, anchors=model.anchors, strides=model.strides)
     grid_xy, anchor_wh, stride = (
@@ -87,11 +112,15 @@ def main() -> None:
         float(jnp.sum(det))  # hard sync
         return time.perf_counter() - t0
 
-    for _ in range(WARMUP):
+    _log("compiling serve graph (first run)...")
+    run(1)
+    _log("compiled; warming up")
+    for _ in range(WARMUP - 1):
         run(1)
     t1 = run(1)
     tn = run(ITERS + 1)
     dt = tn - t1
+    _log(f"measured: {ITERS} chained iters in {dt:.3f}s")
 
     img_per_sec = BATCH * ITERS / dt
     print(
@@ -102,8 +131,65 @@ def main() -> None:
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec / A100_TRT_YOLOV5S_IMG_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def _diagnose(attempt: int, elapsed: float) -> None:
+    _log(
+        f"attempt {attempt} hit the {CHILD_TIMEOUT_S:.0f}s watchdog after "
+        f"{elapsed:.0f}s — likely another process holds the axon tunnel "
+        "(the tunnel serializes clients; a held tunnel makes compiles block "
+        "indefinitely)"
+    )
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,etime,rss,cmd"], capture_output=True, text=True, timeout=10
+        ).stdout
+        procs = [
+            l for l in out.splitlines()
+            if "python" in l and "bench.py" not in l and "ps -eo" not in l
+        ]
+        if procs:
+            _log("other python processes (possible tunnel holders):")
+            for l in procs[:15]:
+                print("    " + l, file=sys.stderr, flush=True)
+    except Exception as e:  # diagnostics must never break the bench
+        _log(f"process scan failed: {e}")
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        child_main()
+        return
+
+    for attempt in (1, 2):
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                timeout=CHILD_TIMEOUT_S,
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            _diagnose(attempt, time.perf_counter() - t0)
+            _log("retrying once..." if attempt == 1 else "giving up")
+            continue
+        sys.stderr.write(proc.stderr or "")
+        line = next(
+            (l for l in (proc.stdout or "").splitlines() if l.startswith('{"metric"')), None
+        )
+        if line:
+            print(line, flush=True)
+            return
+        _log(f"attempt {attempt}: child exited rc={proc.returncode} without a JSON line")
+        sys.stderr.write((proc.stdout or "")[-2000:])
+        if attempt == 1:
+            _log("retrying once...")
+    sys.exit(1)
 
 
 if __name__ == "__main__":

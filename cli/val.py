@@ -110,11 +110,14 @@ def profile_model(model, variables, img_hw, batch_size: int, n_run: int, dtype) 
     """Latency profile (kindle model.profile parity, val.py:337-342)."""
     fwd = jax.jit(lambda im: model.apply(variables, im.astype(dtype) / 255.0, training=False)[0])
     images = jnp.zeros((batch_size, img_hw[0], img_hw[1], 3), jnp.uint8)
-    jax.block_until_ready(fwd(images))  # compile
+    # hard D2H sync, not block_until_ready: the tunneled axon backend's
+    # block_until_ready returns before device completion (bench.py note)
+    float(jnp.sum(fwd(images)))  # compile + sync
     t0 = time.perf_counter()
+    out = None
     for _ in range(n_run):
         out = fwd(images)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / n_run / batch_size * 1e3
     LOGGER.info("Profile: %.2f ms/image (batch %d, %d runs)", dt, batch_size, n_run)
     return dt

@@ -191,3 +191,36 @@ def test_repeated_index_salt_fresh_augmentations():
     c = ds.get_item(0, 0)[0]
     assert (a != b).any(), "same index at different epoch positions: identical sample"
     assert (a == c).all(), "same (index, salt) must be deterministic"
+
+
+def test_dataloader_shard_equal_batch_counts():
+    """Per-host batch counts must be IDENTICAL for any dataset length
+    (DistributedSampler pad-by-wrap semantics): a host with one extra batch
+    would enter the collective pjit step alone and deadlock, and per-host
+    steps_per_epoch/LR schedules would diverge (ADVICE r2 medium)."""
+
+    class _Stub:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            img = np.zeros((32, 32, 3), np.uint8)
+            return img, np.zeros((0, 5), np.float32), f"p{i}", ((32, 32), ((1, 1), (0, 0)))
+
+    for n, hosts, gbs in [(15, 2, 8), (17, 4, 8), (9, 2, 4), (7, 3, 3)]:
+        lens = []
+        seen = set()
+        for h in range(hosts):
+            dl = DataLoader(_Stub(n), batch_size=gbs, shard=(h, hosts),
+                            drop_last=True, shuffle=True, seed=3)
+            batches = list(dl)
+            lens.append(len(batches))
+            assert len(batches) == len(dl)
+            for b in batches:
+                seen.update(b.paths)
+        assert len(set(lens)) == 1, (n, hosts, gbs, lens)
+        # wrap-padding may duplicate a few items but must not invent any
+        assert seen <= {f"p{i}" for i in range(n)}

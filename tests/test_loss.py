@@ -195,3 +195,33 @@ def test_focal_and_smoothing_change_loss():
     assert float(t2) != float(t0)
     # focal downweights easy negatives -> smaller obj loss on random preds
     assert float(t1) < float(t0)
+
+
+def test_padded_batch_loss_matches_short_batch():
+    """A padded final val batch (rows duplicated to keep static shapes) with
+    target-slot masking + image_weight reproduces the short batch's loss
+    items EXACTLY — the reference's short-last-batch averaging semantics
+    (train_utils.py:285-292; ADVICE r2 validator finding)."""
+    rng = np.random.default_rng(2)
+    nc = 6
+    n_real, bs = 3, 4
+    preds, labels = _fake_batch(rng, bs=n_real, nc=nc, n_labels=(3, 5, 2))
+    loss_fn = ComputeLoss.from_hyp(np.stack(ANCHORS), nc, HYP)
+
+    # ground truth: the short batch on its own
+    tg, mask = pad_targets(labels, batch_size=n_real, max_targets=32)
+    want = loss_fn([jnp.asarray(p) for p in preds], jnp.asarray(tg), jnp.asarray(mask))[1]
+
+    # padded batch: row 0 duplicated (loader.pad_final_batch semantics)
+    preds_pad = [np.concatenate([p, p[:1].repeat(bs - n_real, 0)]) for p in preds]
+    labels_pad = labels + [labels[0]] * (bs - n_real)
+    tg_p, mask_p = pad_targets(labels_pad, batch_size=bs, max_targets=48)
+    mask_p = mask_p & (tg_p[:, 0] < n_real)
+    img_w = (np.arange(bs) < n_real).astype(np.float32)
+    got = loss_fn(
+        [jnp.asarray(p) for p in preds_pad],
+        jnp.asarray(tg_p),
+        jnp.asarray(mask_p),
+        image_weight=jnp.asarray(img_w),
+    )[1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
