@@ -206,14 +206,23 @@ class YOLOModel(nn.Module):
     s2d_stem: Any = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, training: bool = False):
+    def __call__(self, x: jax.Array, training: bool = False, start_layer: int = 0):
         with L.decompose_scope(dict(self.decompose_map)):
-            return self._forward(x, training)
+            return self._forward(x, training, start_layer)
 
-    def _forward(self, x: jax.Array, training: bool = False):
+    def _forward(self, x: jax.Array, training: bool = False, start_layer: int = 0):
+        """``start_layer > 0``: ``x`` is the activation *entering* spec
+        ``start_layer`` and specs before it are skipped (their params are
+        simply unused by apply). Used by the fused early-network Pallas
+        pipeline (ops/early_pipeline.py), which computes layers 0..3 out of
+        graph; skipped layers must not feed skip connections."""
+        if start_layer > 0 and any(s < start_layer for s in self.save):
+            raise ValueError(
+                f"start_layer={start_layer} skips saved layers {self.save}"
+            )
         saved: Dict[int, jax.Array] = {}
         y: Any = x.astype(self.dtype)
-        specs = self.specs
+        specs = self.specs[start_layer:]
         for spec in specs:
             if spec.module == "YOLOHead":
                 feats = [saved[f] if f >= 0 else y for f in spec.from_idx]

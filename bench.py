@@ -77,12 +77,29 @@ def child_main() -> None:
         jnp.asarray(v) for v in flat_grid_meta(model.strides, head.anchor_grid(), (SIZE, SIZE))
     )
 
+    # A/B flag: AYOLO_EARLY_PIPELINE=1 routes layers 0..3 through the fused
+    # Pallas early-network kernel (ops/early_pipeline.py) instead of XLA.
+    use_early = os.environ.get("AYOLO_EARLY_PIPELINE", "0") == "1"
+    early_strip_h = int(os.environ.get("AYOLO_EARLY_STRIP_H", "10"))
+    if use_early:
+        from ayolov2_tpu.ops.early_pipeline import (
+            can_fuse_early, early_pipeline, extract_early_params,
+        )
+
+        assert can_fuse_early(model.specs)
+        ep = extract_early_params(fused)
+        _log(f"early-pipeline path ON (strip_h={early_strip_h})")
+
     @jax.jit
     def serve(images):
         # fused serving path: bf16 backbone -> obj prefilter on raw logits ->
         # fp32 decode of the surviving 1000 rows only -> fixed-shape NMS
-        imgs = images.astype(jnp.bfloat16) / 255.0
-        raw = model.apply(fused, imgs, training=True)
+        if use_early:
+            act = early_pipeline(images, ep, strip_h=early_strip_h)
+            raw = model.apply(fused, act, training=True, start_layer=4)
+        else:
+            imgs = images.astype(jnp.bfloat16) / 255.0
+            raw = model.apply(fused, imgs, training=True)
         det, n = fused_decode_nms(
             flatten_raw_maps(raw),
             grid_xy, anchor_wh, stride,

@@ -1,0 +1,104 @@
+"""Numerics + geometry gates for the fused early-network Pallas pipeline.
+
+Compares ops/early_pipeline.early_pipeline (interpret mode) against the
+flax fused-conv layers it replaces (models 0..3 of yolov5s), on raw uint8
+images. The flax path computes x = uint8/255 in bf16 then four convs; the
+kernel folds /255 into the stem weights — agreement is to bf16 tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ayolov2_tpu.models import build_model, fuse_params
+from ayolov2_tpu.models import layers as L
+from ayolov2_tpu.ops.early_pipeline import (
+    can_fuse_early,
+    early_pipeline,
+    extract_early_params,
+)
+
+MODEL_CFG = "res/configs/model/yolov5s.yaml"
+
+
+def _fused_variables(img=64, seed=0):
+    unfused = build_model(MODEL_CFG, dtype=jnp.bfloat16)
+    variables = unfused.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, img, img, 3), jnp.uint8),
+        training=False,
+    )
+    model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+    return model, fuse_params(variables)
+
+
+def _reference_early(fused, images):
+    """Layers 0..3 exactly as the serving model runs them."""
+    p = fused["params"]
+    x = images.astype(jnp.bfloat16) / 255.0
+    kw = dict(act="SiLU", dtype=jnp.bfloat16, fuse=True)
+    c0 = p["model_0"]["conv"]["kernel"].shape[-1]
+    c1 = p["model_1"]["conv"]["kernel"].shape[-1]
+    c2 = p["model_3"]["conv"]["kernel"].shape[-1]
+    n = sum(1 for k in p["model_2"] if k.startswith("m"))
+    x = L.ConvBnAct(c0, 6, 2, 2, **kw).apply({"params": p["model_0"]}, x, True)
+    x = L.ConvBnAct(c1, 3, 2, **kw).apply({"params": p["model_1"]}, x, True)
+    x = L.C3(c1, n=n, **kw).apply({"params": p["model_2"]}, x, True)
+    x = L.ConvBnAct(c2, 3, 2, **kw).apply({"params": p["model_3"]}, x, True)
+    return x
+
+
+@pytest.mark.parametrize("hw,strip_h", [((64, 64), 4), ((64, 96), 8)])
+def test_early_pipeline_matches_flax(hw, strip_h):
+    model, fused = _fused_variables()
+    assert can_fuse_early(model.specs)
+    ep = extract_early_params(fused)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 256, (2, hw[0], hw[1], 3), dtype=np.uint8)
+    )
+
+    got = early_pipeline(images, ep, strip_h=strip_h, interpret=True)
+    want = _reference_early(fused, images)
+
+    assert got.shape == (2, hw[0] // 8, hw[1] // 8, ep.c2)
+    assert got.dtype == jnp.bfloat16
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    scale = max(np.abs(w).max(), 1e-3)
+    err = np.abs(g - w).max() / scale
+    assert err < 0.03, f"max rel-to-peak error {err:.4f}"
+    # bulk agreement, not just max: 99.9th percentile much tighter
+    q = np.quantile(np.abs(g - w), 0.999) / scale
+    assert q < 0.015, f"p99.9 rel error {q:.4f}"
+
+
+def test_early_pipeline_full_model_integration():
+    """early_pipeline + model.apply(start_layer=4) == full model forward."""
+    model, fused = _fused_variables()
+    ep = extract_early_params(fused)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8))
+
+    full = model.apply(fused, images.astype(jnp.bfloat16) / 255.0, training=True)
+    act = early_pipeline(images, ep, strip_h=4, interpret=True)
+    part = model.apply(fused, act, training=True, start_layer=4)
+
+    assert len(full) == len(part)
+    for f, p in zip(full, part):
+        f = np.asarray(f, np.float32)
+        p = np.asarray(p, np.float32)
+        scale = max(np.abs(f).max(), 1e-3)
+        assert np.abs(f - p).max() / scale < 0.03
+
+
+def test_can_fuse_early_rejects_focus_stem():
+    # yolov5_v5 uses a Focus stem — the fused pipeline must decline it
+    model = build_model("res/configs/model/yolov5s_v5.yaml") if False else None
+    # build a spec list by hand: first layer not Conv(k6,s2)
+    s = build_model(MODEL_CFG).specs
+    import dataclasses
+
+    bad = (dataclasses.replace(s[0], args=(32, 3, 1)),) + s[1:]
+    assert not can_fuse_early(bad)
+    assert can_fuse_early(s)
