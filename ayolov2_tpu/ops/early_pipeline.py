@@ -214,17 +214,24 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
+def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int],
+                 stages: Tuple[str, ...]):
     R3, R1, R0, RS = cs["R3"], cs["R1"], cs["R0"], cs["RS"]
     CQ, CP0, CP1, KH = cs["CQ"], cs["CP0"], cs["CP1"], cs["KH"]
 
-    def _edge_mask(n_blocks, width, lo, hi, row_ok):
+    def _edge_mask(n_rows, n_blocks, width, lo, hi, row_ok):
         """Zero out-of-image lanes/rows: the reference zero-pads each conv
         at *its own* input level; a fused chain must re-zero the padding
-        region before every 3x3 consumes it (silu(bias) != 0)."""
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_blocks * width), 1)
+        region before every 3x3 consumes it (silu(bias) != 0). Built at
+        full sublane height — Mosaic can't relayout a (1, N) i1 vector."""
+        # int32 clip arithmetic, no i1 vectors: this Mosaic build cannot
+        # relayout i1 vectors whose sublane dim is replicated (iota varies
+        # only along lanes), so comparisons/& are off the table.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_blocks * width), 1)
         d = jax.lax.rem(lane, width)
-        return jnp.where((d >= lo) & (d < hi) & row_ok, jnp.bfloat16(1), jnp.bfloat16(0))
+        inside = jnp.clip(d - (lo - 1), 0, 1) * jnp.clip(hi - d, 0, 1)
+        row = jnp.where(row_ok, 1, 0)  # scalar select — lowers to sreg
+        return (inside * row).astype(jnp.float32).astype(jnp.bfloat16)
 
     def kernel(s_ref, *args):
         nw = 6 + 4 * n + 6
@@ -237,7 +244,9 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
         out_ref = args[nw]
         sbf, stem_o, c1_o, m_a, m_b, c3_o, patch = args[nw + 1 :]
 
-        sbf[...] = s_ref[0, 0].astype(jnp.bfloat16)
+        # Mosaic has no direct uint8->bf16 cast; chain through int32/f32
+        # (the uint8 HBM->VMEM DMA at half the bf16 bytes is worth it).
+        sbf[...] = s_ref[0, 0].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
         c12 = sbf.shape[1]   # 4*cin s2d planes (12)
         c0 = w_stem.shape[0]
         c1 = w_c1.shape[0]
@@ -265,7 +274,9 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return _silu(out.astype(jnp.bfloat16) + b[...])
+            # bias+SiLU in f32: Mosaic mis-lowers bf16 logistic (f32
+            # constant broadcast into a bf16 vector fails verification)
+            return _silu(out + b[...].astype(jnp.float32)).astype(jnp.bfloat16)
 
         # ---- stem: 3x3 over the 12 phase planes, 4 output phase blocks --
         def stem_row(o, carry):
@@ -280,12 +291,13 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
                             jax.lax.slice_in_dim(slab, src, src + CP0, axis=1)
                         )
             og = o + 4 * SH * pl.program_id(1) - (2 * n + 3)
-            mask = _edge_mask(4, CP0, KH + 2, KH + 2 + w80,
+            mask = _edge_mask(c0, 4, CP0, KH + 2, KH + 2 + w80,
                               (og >= 0) & (og < 4 * h80))
             stem_o[o] = matmul(w_stem[...], b_stem, 9 * c12, 4 * CP0) * mask
             return carry
 
-        jax.lax.fori_loop(0, R0, stem_row, 0)
+        if "stem" in stages:
+            jax.lax.fori_loop(0, R0, stem_row, 0)
 
         # ---- conv1: 3x3 stride 2 (rows via 2v+i, cols via phase blocks) -
         def c1_row(v, carry):
@@ -302,7 +314,8 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
             c1_o[v] = matmul(w_c1[...], b_c1, 9 * c0, 2 * CP1)
             return carry
 
-        jax.lax.fori_loop(0, R1, c1_row, 0)
+        if "c1" in stages:
+            jax.lax.fori_loop(0, R1, c1_row, 0)
 
         # ---- C3 left: cv1 1x1, then n bottlenecks (1x1 + 3x3 + residual)
         def cv1_row(v, carry):
@@ -311,12 +324,13 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_a[v] = _silu(y.astype(jnp.bfloat16) + b_cv1[...])
+            m_a[v] = _silu(y + b_cv1[...].astype(jnp.float32)).astype(jnp.bfloat16)
             return carry
 
-        jax.lax.fori_loop(0, R1, cv1_row, 0)
+        if "cv1" in stages:
+            jax.lax.fori_loop(0, R1, cv1_row, 0)
 
-        for ib in range(n):
+        for ib in range(n if "m" in stages else 0):
             def m1_row(v, carry, ib=ib):
                 y = jax.lax.dot_general(
                     wm1[ib][...], m_a[v],
@@ -324,9 +338,9 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
                     preferred_element_type=jnp.float32,
                 )
                 vg = v + 2 * SH * pl.program_id(1) - (n + 1)
-                mask = _edge_mask(2, CP1, KH + 1, KH + 1 + w80,
+                mask = _edge_mask(ch, 2, CP1, KH + 1, KH + 1 + w80,
                                   (vg >= 0) & (vg < 2 * h80))
-                m_b[v] = _silu(y.astype(jnp.bfloat16) + bm1[ib][...]) * mask
+                m_b[v] = _silu(y + bm1[ib][...].astype(jnp.float32)).astype(jnp.bfloat16) * mask
                 return carry
 
             jax.lax.fori_loop(ib, R1 - ib, m1_row, 0)
@@ -340,11 +354,12 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
                             m = r + jj - 1
                             s = (m % 2) * CP1 + (m // 2)
                             # same-level tap: circular shift, wrap lands in
-                            # the halo margin only
+                            # the halo margin only (s is static; jnp.roll
+                            # with shift 0 lowers to a zero-size slice that
+                            # Mosaic rejects — skip the roll)
+                            rolled = slab if s == 0 else jnp.roll(slab, -s, axis=1)
                             patch[pl.ds(base, ch), pl.ds(r * CP1, CP1)] = (
-                                jax.lax.slice_in_dim(
-                                    jnp.roll(slab, -s, axis=1), 0, CP1, axis=1
-                                )
+                                jax.lax.slice_in_dim(rolled, 0, CP1, axis=1)
                             )
                 m_a[t] = m_a[t] + matmul(wm2[ib][...], bm2[ib], 9 * ch, 2 * CP1)
                 return carry
@@ -358,16 +373,17 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            y = _silu(y.astype(jnp.bfloat16) + b_cv2[...])
+            y = _silu(y + b_cv2[...].astype(jnp.float32)).astype(jnp.bfloat16)
             patch[pl.ds(0, ch), pl.ds(0, 2 * CP1)] = m_a[t + n]
             patch[pl.ds(ch, ch), pl.ds(0, 2 * CP1)] = y
             tg = t + 2 * SH * pl.program_id(1) - 1
-            mask = _edge_mask(2, CP1, KH + 1, KH + 1 + w80,
+            mask = _edge_mask(c1, 2, CP1, KH + 1, KH + 1 + w80,
                               (tg >= 0) & (tg < 2 * h80))
             c3_o[t] = matmul(w_cv3[...], b_cv3, 2 * ch, 2 * CP1) * mask
             return carry
 
-        jax.lax.fori_loop(0, R3, c3_row, 0)
+        if "c3" in stages:
+            jax.lax.fori_loop(0, R3, c3_row, 0)
 
         # ---- conv2: 3x3 stride 2 -> (SH, w80, c2) NHWC rows -------------
         def c2_row(z, carry):
@@ -383,7 +399,10 @@ def _make_kernel(SH: int, w80: int, h80: int, n: int, cs: Dict[str, int]):
             out_ref[0, z] = y.T
             return carry
 
-        jax.lax.fori_loop(0, SH, c2_row, 0)
+        if "c2" in stages:
+            jax.lax.fori_loop(0, SH, c2_row, 0)
+        else:  # timing diagnostics only — output is zeros
+            out_ref[0, 0] = jnp.zeros(out_ref.shape[2:], jnp.bfloat16)
 
     return kernel
 
@@ -429,13 +448,17 @@ def _prep_strips(images: jax.Array, SH: int, n: int) -> jax.Array:
     return jnp.stack(strips, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("strip_h", "interpret"))
+ALL_STAGES = ("stem", "c1", "cv1", "m", "c3", "c2")
+
+
+@functools.partial(jax.jit, static_argnames=("strip_h", "interpret", "stages"))
 def early_pipeline(
     images: jax.Array,
     ep: EarlyParams,
     *,
     strip_h: int = 10,
     interpret: bool = False,
+    stages: Tuple[str, ...] = ALL_STAGES,
 ) -> jax.Array:
     """Fused stem/conv1/C3/conv2. images: (bs, H, W, 3) uint8, raw pixels
     (the /255 lives in ep.w_stem). Returns (bs, H/8, W/8, c2) bf16."""
@@ -466,7 +489,7 @@ def early_pipeline(
     lmax = max(4 * CP0, 2 * CP1, 4 * CQ)
 
     out = pl.pallas_call(
-        _make_kernel(SH, w80, h80, n, cs),
+        _make_kernel(SH, w80, h80, n, cs, stages),
         grid=(bs, h80 // SH),
         in_specs=[
             pl.BlockSpec((1, 1, RS, 4 * images.shape[-1], 4 * CQ),
