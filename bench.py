@@ -50,6 +50,18 @@ _T0 = time.perf_counter()
 
 
 def child_main() -> None:
+    # Die with the parent: if the parent is killed (driver timeout, outer
+    # `timeout N`), an orphaned child would keep holding the axon tunnel and
+    # block every subsequent bench/compile on this host — the round-2
+    # BENCH_r02 rc=124 failure mode. PR_SET_PDEATHSIG delivers SIGKILL to
+    # this process the moment the parent exits.
+    try:
+        import ctypes
+        import signal as _signal
+
+        ctypes.CDLL("libc.so.6", use_errno=True).prctl(1, _signal.SIGKILL)
+    except Exception:
+        pass
     from ayolov2_tpu.utils.jax_setup import setup as _jax_setup
 
     _jax_setup()
@@ -111,6 +123,13 @@ def child_main() -> None:
             pre_top_k=512,
             keep_top_k=100,
             multi_label=False,
+            # Serving default: TPU-optimized approximate objectness prefilter
+            # (lax.approx_max_k, recall 0.99). Measured on real trained
+            # outputs (99 fixture images, memorization ckpt): ZERO keep-set
+            # change above conf 0.01; +2 detections of 9756 in the
+            # 0.001-0.01 tail. +4% e2e. AYOLO_APPROX_PREFILTER=0 forces the
+            # exact TRT-plugin semantics (library/validator default).
+            approx_prefilter=os.environ.get("AYOLO_APPROX_PREFILTER", "1") == "1",
         )
         return det, n
 

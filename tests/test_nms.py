@@ -172,6 +172,34 @@ def test_fused_decode_nms_matches_plain_path():
     np.testing.assert_allclose(np.asarray(det_fused), np.asarray(det_ref), atol=2e-3, rtol=1e-4)
 
 
+def test_fused_decode_nms_approx_prefilter():
+    """approx_prefilter=True (serving knob, lax.approx_max_k recall 0.99)
+    keeps the output contract and agrees with exact mode on confident
+    detections. Exact tail agreement is backend-dependent by design — on
+    the real TPU, zero keep-set diff above conf 0.01 was measured across
+    all 99 fixture images (STATUS.md round-3 decode restructure)."""
+    from ayolov2_tpu.ops.nms import fused_decode_nms
+
+    rng = np.random.default_rng(3)
+    N, nc = 1200, 20
+    raw = jnp.asarray(rng.normal(-4, 2, (2, N, 5 + nc)).astype(np.float32))
+    grid_xy = jnp.asarray(rng.uniform(0, 8, (N, 2)).astype(np.float32))
+    anchor_wh = jnp.asarray(rng.uniform(4, 60, (N, 2)).astype(np.float32))
+    stride = jnp.asarray(np.full((N, 1), 8.0, np.float32))
+    kw = dict(conf_thres=0.001, iou_thres=0.5, nms_box=128, pre_top_k=64,
+              keep_top_k=20, multi_label=False)
+    de, ne = fused_decode_nms(raw, grid_xy, anchor_wh, stride, **kw)
+    da, na = fused_decode_nms(raw, grid_xy, anchor_wh, stride,
+                              approx_prefilter=True, **kw)
+    assert da.shape == de.shape and na.shape == ne.shape
+    # confident detections (well above the prefilter tail) must agree
+    conf = 0.05
+    for i in range(de.shape[0]):
+        e = np.asarray(de[i]); a = np.asarray(da[i])
+        e, a = e[e[:, 4] > conf], a[a[:, 4] > conf]
+        np.testing.assert_allclose(np.sort(e, 0), np.sort(a, 0), atol=1e-3)
+
+
 def test_nms_classes_filter():
     """classes debug filter (metrics.py:366-368 parity)."""
     from ayolov2_tpu.ops.nms import non_max_suppression_np
