@@ -22,13 +22,13 @@ from ayolov2_tpu.ops.early_pipeline import (
 MODEL_CFG = "res/configs/model/yolov5s.yaml"
 
 
-def _fused_variables(img=64, seed=0):
-    unfused = build_model(MODEL_CFG, dtype=jnp.bfloat16)
+def _fused_variables(img=64, seed=0, cfg=MODEL_CFG):
+    unfused = build_model(cfg, dtype=jnp.bfloat16)
     variables = unfused.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, img, img, 3), jnp.uint8),
         training=False,
     )
-    model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+    model = build_model(cfg, dtype=jnp.bfloat16, fused=True)
     return model, fuse_params(variables)
 
 
@@ -71,6 +71,25 @@ def test_early_pipeline_matches_flax(hw, strip_h):
     # bulk agreement, not just max: 99.9th percentile much tighter
     q = np.quantile(np.abs(g - w), 0.999) / scale
     assert q < 0.015, f"p99.9 rel error {q:.4f}"
+
+
+def test_early_pipeline_yolov5m_depth2():
+    """Family claim: widths/depths are parameters — verify n=2 bottlenecks
+    (yolov5m: c0=48, c1=96, ch=48, c2=192) against flax."""
+    model, fused = _fused_variables(cfg="res/configs/model/yolov5m.yaml")
+    assert can_fuse_early(model.specs)
+    ep = extract_early_params(fused)
+    assert ep.n == 2
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8))
+
+    got = early_pipeline(images, ep, strip_h=4, interpret=True)
+    want = _reference_early(fused, images)
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    scale = max(np.abs(w).max(), 1e-3)
+    assert g.shape == w.shape
+    assert np.abs(g - w).max() / scale < 0.03
 
 
 def test_early_pipeline_full_model_integration():
