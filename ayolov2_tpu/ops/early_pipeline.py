@@ -162,15 +162,20 @@ def extract_early_params(fused_variables: Dict[str, Any]) -> EarlyParams:
     w_stem, b_stem = _wk(k0, p["model_0"]["conv"]["bias"])
     w_c1, b_c1 = _wk(p["model_1"]["conv"]["kernel"], p["model_1"]["conv"]["bias"])
     c3 = p["model_2"]
-    w_cv1, b_cv1 = _wk(c3["cv1"]["conv"]["kernel"], c3["cv1"]["conv"]["bias"])
-    w_cv2, b_cv2 = _wk(c3["cv2"]["conv"]["kernel"], c3["cv2"]["conv"]["bias"])
+    # 1x1 convs consume the level scratch directly (no patch) — their K must
+    # equal the true input channel count, so pass k_pad=k_true (no pad)
+    cv1k = c3["cv1"]["conv"]["kernel"]
+    w_cv1, b_cv1 = _wk(cv1k, c3["cv1"]["conv"]["bias"], k_pad=cv1k.shape[2])
+    cv2k = c3["cv2"]["conv"]["kernel"]
+    w_cv2, b_cv2 = _wk(cv2k, c3["cv2"]["conv"]["bias"], k_pad=cv2k.shape[2])
     w_cv3, b_cv3 = _wk(c3["cv3"]["conv"]["kernel"], c3["cv3"]["conv"]["bias"])
     wm1, bm1, wm2, bm2 = [], [], [], []
     for i in range(64):
         if f"m{i}" not in c3:
             break
         m = c3[f"m{i}"]
-        w, b = _wk(m["cv1"]["conv"]["kernel"], m["cv1"]["conv"]["bias"])
+        m1k = m["cv1"]["conv"]["kernel"]
+        w, b = _wk(m1k, m["cv1"]["conv"]["bias"], k_pad=m1k.shape[2])
         wm1.append(w)
         bm1.append(b)
         w, b = _wk(m["cv2"]["conv"]["kernel"], m["cv2"]["conv"]["bias"])
