@@ -270,11 +270,19 @@ class ImageFolderDataset:
         )
 
     def __getitem__(self, index: int):
-        """Returns (img HWC-BGR uint8, (h0, w0), ((ratio), (pad)))."""
-        im, (h0, w0), _ = self.load_image(index)
+        """Returns (img HWC-BGR uint8, (h0, w0), ((ratio), (pad))).
+
+        ratio is the TOTAL content scale native->letterboxed (h1/h0, w1/w0),
+        composing load_image's resize with the letterbox — what scale_coords
+        expects as ratio_pad (reference val2 shapes semantics; same
+        composition as DetectionDataset.get_item). Returning only the
+        letterbox-step ratio (1.0 for pre-resized content) left predictions
+        pad-corrected but un-descaled — caught by the answersheet golden.
+        """
+        im, (h0, w0), (h1, w1) = self.load_image(index)
         shape = self.target_shape(index)
-        im, ratio, pad_wh = letterbox(im, shape, stride=self.stride, auto=False, scale_up=self.scale_up)
-        return im, (h0, w0), (ratio, pad_wh)
+        im, _, pad_wh = letterbox(im, shape, stride=self.stride, auto=False, scale_up=self.scale_up)
+        return im, (h0, w0), ((h1 / h0, w1 / w0), pad_wh)
 
 
 def _parse_label_file(path: Path) -> Tuple[np.ndarray, List[np.ndarray]]:

@@ -49,6 +49,25 @@ def test_image_folder_dataset():
     assert h0 > 0 and w0 > 0
 
 
+def test_image_folder_meta_descales_to_native():
+    """The meta ratio must be the TOTAL native->letterbox content scale so
+    scale_coords lands back in native pixels (caught by the answersheet
+    golden: the letterbox-step-only ratio left val2 boxes un-descaled)."""
+    from ayolov2_tpu.utils.boxes import scale_coords
+
+    ds = ImageFolderDataset(VOC_TRAIN, img_size=320, batch_size=8, rect=False)
+    # find a non-square image (the fixture VOC is full of 500x375s)
+    idx = next(i for i in range(len(ds)) if ds.shapes[i][0] != ds.shapes[i][1])
+    img, (h0, w0), (ratio, pad) = ds[idx]
+    assert h0 != w0
+    r = 320 / max(h0, w0)
+    np.testing.assert_allclose(ratio, (int(h0 * r) / h0, int(w0 * r) / w0), rtol=1e-6)
+    # a letterboxed box spanning the full content must descale to ~(w0, h0)
+    content = np.array([[pad[0], pad[1], pad[0] + w0 * ratio[1], pad[1] + h0 * ratio[0]]])
+    back = scale_coords(img.shape[:2], content.astype(np.float64), (h0, w0), (ratio, pad))
+    np.testing.assert_allclose(back[0], [0, 0, w0, h0], atol=1.0)
+
+
 def test_rect_batching_shapes():
     ds = ImageFolderDataset(VOC_TRAIN, img_size=320, batch_size=8, rect=True, pad=0.5)
     shapes = ds.batch_shapes
