@@ -134,6 +134,43 @@ def test_swa_averaging(tmp_path):
     assert abs(meta["map50"] - 0.4) < 1e-6
 
 
+def test_freeze_layers_golden_counts():
+    """freeze(5) on yolov5s: exactly 45 frozen / 132 trainable param
+    tensors — the reference's exact-count golden
+    (tests/test_model_manager.py:61-62; named_parameters = conv kernels +
+    BN scale/bias, which maps 1:1 onto our params-collection leaves)."""
+    import optax
+
+    from ayolov2_tpu.train.trainer import _freeze_layers
+
+    model = build_model("res/configs/model/yolov5s.yaml", dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    params = variables["params"]
+
+    def layer_idx(name):
+        return int(name.split("_")[1])
+
+    leaves_by_layer = {
+        k: len(jax.tree_util.tree_leaves(v)) for k, v in params.items()
+    }
+    n_frozen = sum(n for k, n in leaves_by_layer.items() if layer_idx(k) < 5)
+    n_trainable = sum(n for k, n in leaves_by_layer.items() if layer_idx(k) >= 5)
+    assert n_frozen == 45
+    assert n_trainable == 132
+
+    # and the masked optimizer actually zeroes frozen-layer updates
+    tx = _freeze_layers(optax.sgd(0.1), 5)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, state, params)
+    for k, v in upd.items():
+        leaves = jax.tree_util.tree_leaves(v)
+        if layer_idx(k) < 5:
+            assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves), k
+        else:
+            assert any(float(jnp.abs(l).max()) > 0.0 for l in leaves), k
+
+
 def test_multi_scale_resize():
     """Multi-scale resize picks a stride multiple in [0.5, 1.5] x img_size."""
     import types
