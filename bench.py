@@ -195,10 +195,36 @@ def _diagnose(attempt: int, elapsed: float) -> None:
         _log(f"process scan failed: {e}")
 
 
+def _relay_alive() -> bool:
+    """True if the axon tunnel relay is accepting connections.
+
+    The relay (/root/.tpu_init.py) forwards localhost:8082.. to the external
+    axon host and can die on external stdin EOF — after which every TPU
+    compile hangs forever. Fail fast with a diagnosis instead of burning the
+    driver's timeout (observed live this round)."""
+    import socket
+
+    for port in (8082, 8092, 8102, 8112):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main() -> None:
     if "--child" in sys.argv:
         child_main()
         return
+
+    if not _relay_alive():
+        _log(
+            "axon tunnel relay is DOWN (no listener on 8082/8092/8102/8112; "
+            "/root/.tpu_init.py exited?) — the TPU is unreachable and any "
+            "compile would hang. Failing fast."
+        )
+        sys.exit(3)
 
     for attempt in (1, 2):
         t0 = time.perf_counter()
