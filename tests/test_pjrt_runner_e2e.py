@@ -10,6 +10,7 @@ where the plugin or toolchain is unavailable.
 """
 
 import os
+import socket
 import subprocess
 import sys
 from pathlib import Path
@@ -21,9 +22,29 @@ REPO = Path(__file__).resolve().parent.parent
 PLUGIN = Path("/opt/axon/libaxon_pjrt.so")
 RUNNER = REPO / "cpp" / "build" / "pjrt_runner"
 
-pytestmark = pytest.mark.skipif(
-    not PLUGIN.exists(), reason="axon PJRT plugin unavailable"
-)
+
+def _relay_alive() -> bool:
+    """True if the axon tunnel relay accepts connections (see bench.py).
+
+    With the relay down every TPU compile blocks forever; the C++ runner
+    would burn its full 570 s subprocess timeout and then ERROR rather
+    than skip."""
+    for port in (8082, 8092, 8102, 8112):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
+pytestmark = [
+    pytest.mark.skipif(not PLUGIN.exists(), reason="axon PJRT plugin unavailable"),
+    pytest.mark.skipif(
+        PLUGIN.exists() and not _relay_alive(),
+        reason="axon tunnel relay down (no 808x listener) — TPU unreachable",
+    ),
+]
 
 
 def _ensure_runner() -> bool:
