@@ -122,6 +122,7 @@ def export_serving(
     fused_input: bool = False,
     platforms: Optional[Tuple[str, ...]] = None,
     decompose_map: Tuple = (),
+    quant: bool = False,
 ) -> Dict[str, str]:
     """Export the serving graph; returns the written file paths.
 
@@ -133,10 +134,14 @@ def export_serving(
             default: the current backend.
         decompose_map: Tucker-decomposed conv layer map from a decomposed
             checkpoint's meta (cli/decompose_model.py).
+        quant: export the int8-conv serving graph (the TRT int8-engine
+            analogue, export.py --dtype int8); ``variables`` must then be
+            the quantized tree from compress/quantize (implies fused).
     """
     dtype = jnp.bfloat16 if half else jnp.float32
-    model = build_model(model_cfg, dtype=dtype, fused=True, nc=nc, decompose_map=decompose_map)
-    fused = variables if fused_input else fuse_params(variables)
+    model = build_model(model_cfg, dtype=dtype, fused=True, nc=nc,
+                        decompose_map=decompose_map, quant=quant)
+    fused = variables if (fused_input or quant) else fuse_params(variables)
 
     serve = make_serving_fn(
         model, fused, conf_thres=conf_thres, iou_thres=iou_thres,
@@ -179,6 +184,7 @@ def export_serving(
         "top_k": top_k,
         "include_nms": include_nms,
         "half": half,
+        "quant": quant,
         "platforms": list(exported.platforms),
         "input": {"shape": [batch_size, img_size[0], img_size[1], 3], "dtype": "uint8"},
         "outputs": (

@@ -137,7 +137,7 @@ def _build_specs(cfg: Dict[str, Any]) -> Tuple[List[LayerSpec], List[int], Optio
     return specs, sorted(save), head_index
 
 
-def _make_module(spec: LayerSpec, dtype, fuse: bool, name: str, s2d: Any = False) -> nn.Module:
+def _make_module(spec: LayerSpec, dtype, fuse: bool, name: str, s2d: Any = False, quant: Any = False) -> nn.Module:
     """Instantiate the flax module for a (non-head) layer spec."""
     a, kw = spec.args, spec.kw()
     act = kw.get("activation", "SiLU" if spec.module in _WIDTH_SCALED else None)
@@ -146,26 +146,26 @@ def _make_module(spec: LayerSpec, dtype, fuse: bool, name: str, s2d: Any = False
         k = a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
         p = a[3] if len(a) > 3 else None
-        return L.ConvBnAct(a[0], k, s, p, act=act, dtype=dtype, fuse=fuse, s2d=s2d, name=name)
+        return L.ConvBnAct(a[0], k, s, p, act=act, dtype=dtype, fuse=fuse, quant=quant, s2d=s2d, name=name)
     if m == "Bottleneck":
-        return L.Bottleneck(a[0], a[1] if len(a) > 1 else True, act=act, dtype=dtype, fuse=fuse, name=name)
+        return L.Bottleneck(a[0], a[1] if len(a) > 1 else True, act=act, dtype=dtype, fuse=fuse, quant=quant, name=name)
     if m == "C3":
         shortcut = a[1] if len(a) > 1 else True
-        return L.C3(a[0], n=spec.repeat, shortcut=shortcut, act=act, dtype=dtype, fuse=fuse, name=name)
+        return L.C3(a[0], n=spec.repeat, shortcut=shortcut, act=act, dtype=dtype, fuse=fuse, quant=quant, name=name)
     if m == "SPP":
-        return L.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13), act=act, dtype=dtype, fuse=fuse, name=name)
+        return L.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13), act=act, dtype=dtype, fuse=fuse, quant=quant, name=name)
     if m == "SPPF":
-        return L.SPPF(a[0], a[1] if len(a) > 1 else 5, act=act, dtype=dtype, fuse=fuse, name=name)
+        return L.SPPF(a[0], a[1] if len(a) > 1 else 5, act=act, dtype=dtype, fuse=fuse, quant=quant, name=name)
     if m == "Focus":
         k = a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
-        return L.Focus(a[0], k, s, act=act, dtype=dtype, fuse=fuse, name=name)
+        return L.Focus(a[0], k, s, act=act, dtype=dtype, fuse=fuse, quant=quant, name=name)
     if m == "UpSample":
         return L.UpSample(int(a[1]) if len(a) > 1 and a[1] else 2, name=name)
     if m == "MV2Block":
-        return L.MV2Block(a[0], a[1] if len(a) > 1 else 1, a[2] if len(a) > 2 else 4, act=act, dtype=dtype, fuse=fuse, name=name)
+        return L.MV2Block(a[0], a[1] if len(a) > 1 else 1, a[2] if len(a) > 2 else 4, act=act, dtype=dtype, fuse=fuse, quant=quant, name=name)
     if m == "MobileViTBlock":
-        return L.MobileViTBlock(a[0], a[1], a[2], act=act, dtype=dtype, fuse=fuse, name=name)
+        return L.MobileViTBlock(a[0], a[1], a[2], act=act, dtype=dtype, fuse=fuse, quant=quant, name=name)
     if m == "GlobalAvgPool":
         return L.GlobalAvgPool(name=name)
     if m == "Flatten":
@@ -204,6 +204,10 @@ class YOLOModel(nn.Module):
     # win buys (see STATUS.md perf notes) — kept as an option for larger
     # models / future XLA versions.
     s2d_stem: Any = False
+    # int8 serving path (reference export.py --dtype int8 parity): False |
+    # "calib" (sow per-conv input absmax) | True (int8 convs; params from
+    # compress/quantize.quantize_params). Requires fused=True.
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False, start_layer: int = 0):
@@ -247,13 +251,13 @@ class YOLOModel(nn.Module):
                 y = jnp.concatenate(inp, axis=-1)
             elif spec.module == "C3":
                 # repeat is folded into the module's internal bottleneck count
-                y = _make_module(spec, self.dtype, self.fused, f"model_{spec.index}")(inp, training)
+                y = _make_module(spec, self.dtype, self.fused, f"model_{spec.index}", quant=self.quant)(inp, training)
             else:
                 y = inp
                 s2d = self.s2d_stem if spec.index == 0 else False
                 for r in range(spec.repeat):
                     name = f"model_{spec.index}" if spec.repeat == 1 else f"model_{spec.index}_{r}"
-                    y = _make_module(spec, self.dtype, self.fused, name, s2d=s2d)(y, training)
+                    y = _make_module(spec, self.dtype, self.fused, name, s2d=s2d, quant=self.quant)(y, training)
 
             if spec.index in self.save:
                 saved[spec.index] = y
@@ -287,6 +291,7 @@ def build_model(
     nc: Optional[int] = None,
     decompose_map: Any = (),
     s2d_stem: Any = False,
+    quant: Any = False,
 ) -> YOLOModel:
     """Build a YOLOModel from a model YAML path or dict.
 
@@ -320,6 +325,7 @@ def build_model(
         out_xyxy=out_xyxy,
         decompose_map=tuple(decompose_map),
         s2d_stem=s2d_stem,
+        quant=quant,
     )
 
 

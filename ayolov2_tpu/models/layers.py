@@ -160,6 +160,70 @@ class _S2DConv(nn.Module):
         return y
 
 
+class _QuantConv(nn.Module):
+    """Symmetric per-channel int8 conv: s8 x s8 -> s32 on the MXU.
+
+    The TPU-native analogue of the reference's TensorRT int8 engine path
+    (scripts/model_converter/model_converter.py:147-260 — int8 builder flag
+    + IInt8EntropyCalibrator2). v5e runs int8 MXU contractions at 2x the
+    bf16 rate, so the conv-bound serving backbone is the win surface.
+
+    Parameter tree (scope name "conv", mirroring the fused conv so
+    compress/quantize.quantize_params is a pure tree transform):
+      q_kernel (k,k,cin,f) int8   — round(W / w_scale), symmetric
+      w_scale  (f,)        f32    — per-out-channel absmax(W)/127
+      in_scale ()          f32    — calibrated input absmax (per-tensor)
+      bias     (f,)        f32    — carried over from the BN-fused conv
+    Dequant folds into one scalar per channel: y = acc_s32 * (w_scale *
+    in_scale/127) + bias — an elementwise epilogue XLA fuses into the conv.
+    """
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    pad: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        k = self.kernel_size
+        q_kernel = self.param(
+            "q_kernel", nn.initializers.zeros, (k, k, cin, self.features), jnp.int8
+        )
+        w_scale = self.param("w_scale", nn.initializers.ones, (self.features,), jnp.float32)
+        in_scale = self.param("in_scale", nn.initializers.ones, (), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        s_in = in_scale / 127.0
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_in), -127.0, 127.0
+        ).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            xq,
+            q_kernel,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.pad, self.pad), (self.pad, self.pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (w_scale * s_in)
+        return (y + bias).astype(self.dtype)
+
+
+def _quantizable(cin: int, groups: int, ranks, fuse: bool) -> bool:
+    """Whether a plain conv takes the int8 path under quant mode.
+
+    The rule must be computable both here (from the traced input) and in
+    compress/quantize.quantize_params (from the fused kernel shape alone):
+    plain fused convs with cin > 4. That excludes the cin=3 stem (negligible
+    FLOPs, quality-sensitive), depthwise convs (kernel cin-dim is 1), and
+    Tucker-decomposed stacks; YOLOHead's convs live outside ConvBnAct and
+    stay bf16 (standard detector PTQ practice, matching TRT's behavior of
+    keeping the plugin/head path in float).
+    """
+    return fuse and groups == 1 and ranks is None and cin > 4
+
+
 class ConvBnAct(nn.Module):
     """Conv2d + BatchNorm + activation — the universal YOLOv5 'Conv' block.
 
@@ -171,6 +235,10 @@ class ConvBnAct(nn.Module):
     When this module's path is in the active decompose map, the conv traces
     as three convs (1x1 rank_in, kxk rank_in->rank_out, 1x1 features) — the
     Tucker-2 decomposed form.
+
+    ``quant``: False (off) | "calib" (normal compute, sow per-conv input
+    absmax into the "quant_stats" collection) | True (int8 inference via
+    :class:`_QuantConv`; params installed by compress/quantize).
     """
 
     features: int
@@ -186,6 +254,7 @@ class ConvBnAct(nn.Module):
     # False = plain conv; "reshape" / "slice" (or True = "reshape") pick the
     # phase-materialization strategy.
     s2d: Any = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
@@ -227,6 +296,22 @@ class ConvBnAct(nn.Module):
                 dtype=self.dtype, param_dtype=jnp.float32, name="conv_last",
             )(x)
         else:
+            if self.quant is True and _quantizable(x.shape[-1], self.groups, ranks, self.fuse):
+                x = _QuantConv(
+                    self.features, self.kernel_size, self.stride, p,
+                    dtype=self.dtype, name="conv",
+                )(x)
+                return get_activation(self.act)(x)
+            if self.quant == "calib" and _quantizable(
+                x.shape[-1], self.groups, ranks, self.fuse
+            ):
+                self.sow(
+                    "quant_stats",
+                    "in_absmax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    init_fn=lambda: jnp.zeros((), jnp.float32),
+                    reduce_fn=jnp.maximum,
+                )
             x = nn.Conv(
                 self.features,
                 (self.kernel_size, self.kernel_size),
@@ -260,13 +345,14 @@ class Bottleneck(nn.Module):
     act: Optional[str] = "SiLU"
     dtype: Dtype = jnp.float32
     fuse: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         c_hidden = int(self.features * self.expansion)
-        y = ConvBnAct(c_hidden, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv1")(x, training)
+        y = ConvBnAct(c_hidden, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv1")(x, training)
         y = ConvBnAct(
-            self.features, 3, 1, groups=self.groups, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv2"
+            self.features, 3, 1, groups=self.groups, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv2"
         )(y, training)
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
@@ -284,18 +370,19 @@ class C3(nn.Module):
     act: Optional[str] = "SiLU"
     dtype: Dtype = jnp.float32
     fuse: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         c_ = int(self.features * self.expansion)
-        y1 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv1")(x, training)
+        y1 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv1")(x, training)
         for i in range(self.n):
             y1 = Bottleneck(
-                c_, self.shortcut, self.groups, 1.0, act=self.act, dtype=self.dtype, fuse=self.fuse, name=f"m{i}"
+                c_, self.shortcut, self.groups, 1.0, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name=f"m{i}"
             )(y1, training)
-        y2 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv2")(x, training)
+        y2 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv2")(x, training)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv3")(y, training)
+        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv3")(y, training)
 
 
 def _max_pool_same(x: jax.Array, k: int) -> jax.Array:
@@ -312,14 +399,15 @@ class SPP(nn.Module):
     act: Optional[str] = "SiLU"
     dtype: Dtype = jnp.float32
     fuse: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         c_ = x.shape[-1] // 2
-        x = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv1")(x, training)
+        x = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv1")(x, training)
         pools = [x] + [_max_pool_same(x, k) for k in self.kernels]
         y = jnp.concatenate(pools, axis=-1)
-        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv2")(y, training)
+        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv2")(y, training)
 
 
 class SPPF(nn.Module):
@@ -330,16 +418,17 @@ class SPPF(nn.Module):
     act: Optional[str] = "SiLU"
     dtype: Dtype = jnp.float32
     fuse: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         c_ = x.shape[-1] // 2
-        x = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv1")(x, training)
+        x = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv1")(x, training)
         y1 = _max_pool_same(x, self.kernel)
         y2 = _max_pool_same(y1, self.kernel)
         y3 = _max_pool_same(y2, self.kernel)
         y = jnp.concatenate([x, y1, y2, y3], axis=-1)
-        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="cv2")(y, training)
+        return ConvBnAct(self.features, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="cv2")(y, training)
 
 
 class Focus(nn.Module):
@@ -351,6 +440,7 @@ class Focus(nn.Module):
     act: Optional[str] = "SiLU"
     dtype: Dtype = jnp.float32
     fuse: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
@@ -360,7 +450,7 @@ class Focus(nn.Module):
             axis=-1,
         )
         return ConvBnAct(
-            self.features, self.kernel_size, self.stride, act=self.act, dtype=self.dtype, fuse=self.fuse, name="conv"
+            self.features, self.kernel_size, self.stride, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="conv"
         )(y, training)
 
 
@@ -385,6 +475,7 @@ class MV2Block(nn.Module):
     act: Optional[str] = "SiLU"
     dtype: Dtype = jnp.float32
     fuse: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
@@ -392,11 +483,11 @@ class MV2Block(nn.Module):
         hidden = int(round(c_in * self.expansion))
         y = x
         if self.expansion != 1:
-            y = ConvBnAct(hidden, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="expand")(y, training)
+            y = ConvBnAct(hidden, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="expand")(y, training)
         y = ConvBnAct(
-            hidden, 3, self.stride, groups=hidden, act=self.act, dtype=self.dtype, fuse=self.fuse, name="depthwise"
+            hidden, 3, self.stride, groups=hidden, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="depthwise"
         )(y, training)
-        y = ConvBnAct(self.features, 1, 1, act=None, dtype=self.dtype, fuse=self.fuse, name="project")(y, training)
+        y = ConvBnAct(self.features, 1, 1, act=None, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="project")(y, training)
         if self.stride == 1 and c_in == self.features:
             y = x + y
         return y
@@ -439,13 +530,14 @@ class MobileViTBlock(nn.Module):
     act: Optional[str] = "SiLU"
     dtype: Dtype = jnp.float32
     fuse: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         c_in = x.shape[-1]
         # Local representation
-        y = ConvBnAct(c_in, 3, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="local_conv")(x, training)
-        y = ConvBnAct(self.dim, 1, 1, act=None, dtype=self.dtype, fuse=self.fuse, name="proj_in")(y, training)
+        y = ConvBnAct(c_in, 3, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="local_conv")(x, training)
+        y = ConvBnAct(self.dim, 1, 1, act=None, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="proj_in")(y, training)
 
         # Unfold into non-overlapping patch tokens: (B, ph*pw, H/ph*W/pw, d)
         b, h, w, d = y.shape
@@ -460,9 +552,9 @@ class MobileViTBlock(nn.Module):
         # Fold back
         y = y.reshape(b, ph, pw, h // ph, w // pw, d).transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, d)
 
-        y = ConvBnAct(c_in, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="proj_out")(y, training)
+        y = ConvBnAct(c_in, 1, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="proj_out")(y, training)
         y = jnp.concatenate([x, y], axis=-1)
-        return ConvBnAct(c_in, 3, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, name="fusion")(y, training)
+        return ConvBnAct(c_in, 3, 1, act=self.act, dtype=self.dtype, fuse=self.fuse, quant=self.quant, name="fusion")(y, training)
 
 
 class GlobalAvgPool(nn.Module):

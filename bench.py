@@ -89,6 +89,26 @@ def child_main() -> None:
         jnp.asarray(v) for v in flat_grid_meta(model.strides, head.anchor_grid(), (SIZE, SIZE))
     )
 
+    # A/B flag: AYOLO_INT8=1 serves the post-training-quantized int8-conv
+    # graph (compress/quantize; the v5e MXU runs s8xs8 at 2x the bf16 rate).
+    # PTQ on one synthetic batch — throughput measurement only; accuracy
+    # calibration uses real images via `cli/export.py --dtype int8`.
+    if os.environ.get("AYOLO_INT8", "0") == "1":
+        from ayolov2_tpu.compress.quantize import quantize_model
+
+        calib = [
+            jnp.asarray(
+                rng_c.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
+                .astype(np.float32) / 255.0,
+                jnp.bfloat16,
+            )
+            for rng_c in [np.random.default_rng(7)]
+        ]
+        model, fused = quantize_model(
+            "res/configs/model/yolov5s.yaml", fused, calib, dtype=jnp.bfloat16
+        )
+        _log("int8 serving path ON (synthetic-batch PTQ)")
+
     # A/B flag: AYOLO_EARLY_PIPELINE=1 routes layers 0..3 through the fused
     # Pallas early-network kernel (ops/early_pipeline.py) instead of XLA.
     use_early = os.environ.get("AYOLO_EARLY_PIPELINE", "0") == "1"
@@ -98,6 +118,7 @@ def child_main() -> None:
             can_fuse_early, early_pipeline, extract_early_params,
         )
 
+        assert os.environ.get("AYOLO_INT8", "0") != "1", "early-pipeline A/B is float-only"
         assert can_fuse_early(model.specs)
         ep = extract_early_params(fused)
         _log(f"early-pipeline path ON (strip_h={early_strip_h})")

@@ -62,8 +62,15 @@ def get_parser() -> argparse.ArgumentParser:
                         help="export directory (reference --dst); default next to the ckpt")
     parser.add_argument("--dtype", type=str, default="fp16", choices=["fp16", "int8", "fp32"],
                         help="reference --dtype: fp16 maps to bf16 here (MXU native); "
-                             "fp32 = --no-half; int8 is TensorRT-only upstream and "
-                             "unsupported on this path")
+                             "fp32 = --no-half; int8 = post-training-quantized int8 "
+                             "convs (the TRT int8-engine analogue) — needs --calib-dir")
+    parser.add_argument("--calib-dir", type=str, default="",
+                        help="image folder for int8 calibration (extra vs reference: "
+                             "upstream export.py passes no calibrator so its int8 "
+                             "path falls back to float, model_converter.py:204-206; "
+                             "without this flag we match that fallback)")
+    parser.add_argument("--calib-batches", type=int, default=8,
+                        help="number of calibration batches (int8 only)")
     parser.add_argument("--rect", action="store_true", dest="rect", default=True,
                         help="reference parity: exported graphs are fixed-shape; "
                              "rect affects only the val-side loader")
@@ -83,9 +90,11 @@ def main() -> None:
         args.img_height = args.img_width
     if args.dtype == "fp32":
         args.no_half = True
-    elif args.dtype == "int8":
-        raise SystemExit("--dtype int8 is a TensorRT-only path upstream; "
-                         "this exporter emits bf16/fp32 StableHLO artifacts")
+    elif args.dtype == "int8" and not args.calib_dir:
+        # reference behavior: int8 without a calibrator falls back to float
+        # (scripts/model_converter/model_converter.py:204-206)
+        LOGGER.warning("INT8 calibrator must be provided. Switching to float precision.")
+        args.dtype = "fp16"
 
     variables, meta = load_variables(args.weights, prefer_ema=True)
     model_cfg = json.loads(meta["model_cfg"]) if meta.get("model_cfg") else None
@@ -95,6 +104,29 @@ def main() -> None:
             LOGGER.info("rebuilding under %s with weight transfer", args.model_cfg)
         model_cfg = new_cfg
     assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"
+    decompose_map = json.loads(meta["decompose_map"]) if meta.get("decompose_map") else ()
+
+    quant = args.dtype == "int8"
+    if quant:
+        import jax.numpy as jnp
+
+        from ayolov2_tpu.compress.quantize import quantize_model
+        from ayolov2_tpu.data.datasets import ImageFolderDataset
+
+        dtype = jnp.float32 if args.no_half else jnp.bfloat16
+        ds = ImageFolderDataset(args.calib_dir, img_size=args.img_width,
+                                batch_size=args.batch_size)
+        n_img = min(len(ds), args.calib_batches * args.batch_size)
+        imgs = np.stack([ds[i][0] for i in range(n_img)])
+        batches = [
+            jnp.asarray(imgs[i:i + args.batch_size].astype(np.float32) / 255.0, dtype)
+            for i in range(0, n_img, args.batch_size)
+        ]
+        LOGGER.info("int8 calibration on %d images from %s", n_img, args.calib_dir)
+        _, variables = quantize_model(
+            model_cfg, variables, batches, dtype=dtype, nc=args.nc,
+            decompose_map=decompose_map,
+        )
 
     if args.out:
         out = args.out
@@ -120,7 +152,8 @@ def main() -> None:
         include_nms=args.type == "tpu_nms",
         half=not args.no_half,
         platforms=platforms,
-        decompose_map=json.loads(meta["decompose_map"]) if meta.get("decompose_map") else (),
+        decompose_map=decompose_map,
+        quant=quant,
     )
 
     if not args.no_dry_run:

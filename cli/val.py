@@ -84,6 +84,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-half", action="store_true", help="fp32 compute instead of bf16")
     parser.add_argument("--no-rect", action="store_false", dest="rect", help="square batches instead of rect")
     parser.add_argument("--no-fuse", action="store_true", help="skip conv+BN folding")
+    parser.add_argument("--int8", action="store_true",
+                        help="validate the int8 PTQ serving graph (extra vs "
+                             "reference: the TRT int8-engine validation analogue, "
+                             "model_converter.py:147-260); calibrates on the first "
+                             "--calib-batches val batches")
+    parser.add_argument("--calib-batches", type=int, default=4,
+                        help="calibration batches for --int8")
     parser.add_argument("--profile-step", type=int, default=0, help="profile forward N times")
     parser.add_argument("-v", "--verbose", type=int, nargs="?", const=1, default=1,
                         help="verbosity level (reference type; >=2 = per-class metrics)")
@@ -217,6 +224,22 @@ def main() -> dict:
         single_cls=args.single_cls,
     )
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False, pad_final_batch=True)
+
+    if args.int8:
+        if not fuse:
+            raise SystemExit("--int8 requires the fused serving path (drop --no-fuse)")
+        from ayolov2_tpu.compress.quantize import quantize_model
+
+        batches = []
+        for batch in loader:
+            batches.append(jnp.asarray(batch.images).astype(dtype) / 255.0)
+            if len(batches) >= args.calib_batches:
+                break
+        LOGGER.info("int8 PTQ: calibrating on %d val batches", len(batches))
+        model, variables = quantize_model(
+            model_cfg, variables, batches, dtype=dtype,
+            nc=None if args.single_cls else nc, decompose_map=decompose_map,
+        )
 
     if args.profile_step > 0 or args.profile:
         n_run = args.profile_step or args.n_profile

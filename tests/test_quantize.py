@@ -1,0 +1,152 @@
+"""int8 post-training quantization tests.
+
+Parity target: the reference's TensorRT int8 deployment path —
+export.py:85,176 routes --dtype int8 into the TRT builder int8 flag
+(scripts/model_converter/model_converter.py:147-260). Here the analogue is
+compress/quantize (calibrate -> per-channel int8 weights + per-tensor input
+scale) feeding the same flax graph built with quant=True.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ayolov2_tpu.compress.quantize import (
+    collect_activation_stats,
+    quantize_model,
+    quantize_params,
+)
+from ayolov2_tpu.models import build_model, fuse_params, init_model
+from ayolov2_tpu.models.builder import parse_model_config
+
+MODEL_CFG = "res/configs/model/yolov5s.yaml"
+
+
+def _tiny_cfg():
+    cfg = parse_model_config(MODEL_CFG)
+    return dict(cfg, depth_multiple=0.33, width_multiple=0.25)
+
+
+def _calib_batches(n=2, bs=2, img=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        jnp.asarray(rng.random((bs, img, img, 3), np.float32))
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def tiny_fused():
+    cfg = _tiny_cfg()
+    model = build_model(cfg, dtype=jnp.float32, nc=20)
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    fused_model = build_model(cfg, dtype=jnp.float32, fused=True, nc=20)
+    return cfg, fused_model, fuse_params(variables)
+
+
+def test_calibration_sows_every_quantizable_conv(tiny_fused):
+    cfg, _, fused = tiny_fused
+    calib_model = build_model(cfg, dtype=jnp.float32, fused=True, nc=20, quant="calib")
+    stats = collect_activation_stats(calib_model, fused, _calib_batches())
+    # the cin=3 stem must NOT calibrate; the first 3x3 downsample must
+    assert "in_absmax" not in stats.get("model_0", {})
+    assert float(stats["model_1"]["in_absmax"]) > 0.0
+    n = sum(1 for p in jax.tree_util.tree_leaves_with_path(stats) if "in_absmax" in str(p[0]))
+    # every plain fused conv with cin > 4 (all but the stem in this graph)
+    n_convs = sum(
+        1
+        for path, leaf in jax.tree_util.tree_leaves_with_path(fused["params"])
+        if str(path[-2].key) == "conv" and str(path[-1].key) == "kernel" and leaf.ndim == 4
+    )
+    assert n == n_convs - 1, (n, n_convs)
+
+
+def test_quantize_params_structure(tiny_fused):
+    cfg, calib_unused, fused = tiny_fused
+    calib_model = build_model(cfg, dtype=jnp.float32, fused=True, nc=20, quant="calib")
+    stats = collect_activation_stats(calib_model, fused, _calib_batches())
+    qvars = quantize_params(fused, stats)
+
+    # stem stays a float conv
+    assert set(qvars["params"]["model_0"]["conv"]) == {"kernel", "bias"}
+    # first downsample conv is the int8 contract
+    q = qvars["params"]["model_1"]["conv"]
+    assert set(q) == {"q_kernel", "w_scale", "in_scale", "bias"}
+    assert q["q_kernel"].dtype == jnp.int8
+    assert q["w_scale"].shape == (q["q_kernel"].shape[-1],)
+    assert q["in_scale"].shape == ()
+    # per-channel scales reconstruct the kernel within half an int8 step
+    w = np.asarray(fused["params"]["model_1"]["conv"]["kernel"], np.float32)
+    recon = np.asarray(q["q_kernel"], np.float32) * np.asarray(q["w_scale"])
+    assert np.abs(recon - w).max() <= np.asarray(q["w_scale"]).max() * 0.5 + 1e-7
+    # head (Detect, model_24) convs never quantize
+    head = qvars["params"]["model_24"]
+    assert all("q_kernel" not in str(p) for p in jax.tree_util.tree_leaves_with_path(head))
+
+
+def test_quantize_params_rejects_mismatched_stats(tiny_fused):
+    _, _, fused = tiny_fused
+    with pytest.raises(ValueError, match="no conv was quantized"):
+        quantize_params(fused, {"wrong": {"tree": np.float32(1.0)}})
+
+
+def test_quantized_model_tracks_float_model(tiny_fused):
+    """int8 serve outputs stay close to the float fused outputs.
+
+    The quality contract mirrors the reference's TRT-engine tolerance
+    precedent (tests/test_model_convert.py:145-147 uses rtol 0.1-0.2 for
+    fp16 engines; int8 is the coarser path, gated here on the decoded
+    prediction map's correlation + box-coordinate error).
+    """
+    cfg, fused_model, fused = tiny_fused
+    qmodel, qvars = quantize_model(cfg, fused, _calib_batches(), dtype=jnp.float32, nc=20)
+
+    x = jnp.asarray(np.random.default_rng(1).random((2, 64, 64, 3), np.float32))
+    ref, _ = fused_model.apply(fused, x, training=False)
+    got, _ = qmodel.apply(qvars, x, training=False)
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    assert ref.shape == got.shape
+
+    # decoded (bs, N, 5+nc): xywh in pixels, then sigmoided obj/cls
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.99, corr
+    box_err = np.abs(ref[..., :4] - got[..., :4]).mean()
+    assert box_err < 1.5, box_err  # avg box drift under 1.5px at 64px input
+    prob_err = np.abs(ref[..., 4:] - got[..., 4:]).mean()
+    assert prob_err < 0.02, prob_err
+
+
+def test_export_int8_roundtrip(tiny_fused, tmp_path):
+    """export_serving(quant=True) artifact == live int8 jit (export.py --dtype int8)."""
+    from ayolov2_tpu.export import export_serving, load_exported, make_serving_fn
+
+    cfg, _, fused = tiny_fused
+    qmodel, qvars = quantize_model(cfg, fused, _calib_batches(), dtype=jnp.float32, nc=20)
+    paths = export_serving(
+        cfg, qvars, str(tmp_path / "q"), batch_size=2, img_size=(64, 64), nc=20,
+        keep_top_k=10, top_k=32, half=False, quant=True,
+    )
+    x = np.random.default_rng(2).integers(0, 255, (2, 64, 64, 3), np.uint8)
+    det_exp, n_exp = load_exported(paths["jaxexp"])(x)
+
+    serve = make_serving_fn(qmodel, qvars, keep_top_k=10, top_k=32,
+                            image_dtype=jnp.float32, fused_decode=True, img_hw=(64, 64))
+    det_live, n_live = jax.jit(serve)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(det_exp), np.asarray(det_live), atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(n_exp), np.asarray(n_live))
+
+    import yaml
+
+    assert yaml.safe_load(open(paths["yaml"]))["quant"] is True
+
+
+def test_quantize_model_accepts_unfused_variables():
+    cfg = _tiny_cfg()
+    model = build_model(cfg, dtype=jnp.float32, nc=20)
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    qmodel, qvars = quantize_model(cfg, variables, _calib_batches(n=1), dtype=jnp.float32, nc=20)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    decoded, _ = qmodel.apply(qvars, x, training=False)
+    assert np.isfinite(np.asarray(decoded)).all()
