@@ -64,7 +64,7 @@ def collect_activation_stats(
 
 
 def quantize_params(
-    fused_variables: Dict[str, Any], stats: Dict[str, Any]
+    fused_variables: Dict[str, Any], stats: Dict[str, Any], method: str = "absmax"
 ) -> Dict[str, Any]:
     """Fused ``{'params': ...}`` + calibration stats -> int8 params tree.
 
@@ -73,7 +73,13 @@ def quantize_params(
     an ``in_absmax`` during calibration becomes the _QuantConv tree
     ``{q_kernel, w_scale, in_scale, bias}``.  Everything else passes through
     unchanged.
+
+    ``method``: "absmax" uses the full calibrated input range; "p999" clips
+    the range at the 99.9th percentile of |x| (outliers saturate, the bulk
+    of the distribution gets 8x finer steps — the clipped-calibration idea
+    behind TRT's IInt8EntropyCalibrator2).
     """
+    stat_key = {"absmax": "in_absmax", "p999": "in_p999"}[method]
     n_quant = 0
 
     def walk(p: Dict[str, Any], s: Any) -> Dict[str, Any]:
@@ -89,12 +95,12 @@ def quantize_params(
                 and set(v) == {"kernel", "bias"}
                 and getattr(v["kernel"], "ndim", 0) == 4
                 and v["kernel"].shape[2] > 4
-                and "in_absmax" in s
+                and stat_key in s
             ):
                 kern = np.asarray(v["kernel"], np.float32)
                 w_scale = np.maximum(np.abs(kern).max(axis=(0, 1, 2)), 1e-12) / 127.0
                 q = np.clip(np.rint(kern / w_scale), -127, 127).astype(np.int8)
-                in_absmax = float(np.asarray(s["in_absmax"]))
+                in_absmax = float(np.asarray(s[stat_key]))
                 out[k] = {
                     "q_kernel": jnp.asarray(q),
                     "w_scale": jnp.asarray(w_scale, jnp.float32),
@@ -123,6 +129,7 @@ def quantize_model(
     dtype: Any = jnp.bfloat16,
     nc: Optional[int] = None,
     decompose_map: Any = (),
+    method: str = "absmax",
 ) -> Tuple[Any, Dict[str, Any]]:
     """One-call PTQ: fuse (if needed) -> calibrate -> quantize.
 
@@ -140,7 +147,7 @@ def quantize_model(
         decompose_map=decompose_map, quant="calib",
     )
     stats = collect_activation_stats(calib_model, variables, calib_batches)
-    qvars = quantize_params(variables, stats)
+    qvars = quantize_params(variables, stats, method=method)
     qmodel = build_model(
         model_cfg, dtype=dtype, fused=True, nc=nc,
         decompose_map=decompose_map, quant=True,

@@ -305,10 +305,24 @@ class ConvBnAct(nn.Module):
             if self.quant == "calib" and _quantizable(
                 x.shape[-1], self.groups, ranks, self.fuse
             ):
+                ax = jnp.abs(x.astype(jnp.float32))
                 self.sow(
                     "quant_stats",
                     "in_absmax",
-                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    jnp.max(ax),
+                    init_fn=lambda: jnp.zeros((), jnp.float32),
+                    reduce_fn=jnp.maximum,
+                )
+                # p99.9 of |x| on a strided subsample (<=1M elements keeps the
+                # calibration sort cheap): the clipped-range alternative to
+                # absmax — TRT's entropy calibrator analogue, selected via
+                # quantize_params(method="p999")
+                flat = ax.reshape(-1)
+                step = max(1, flat.shape[0] // (1 << 20))
+                self.sow(
+                    "quant_stats",
+                    "in_p999",
+                    jnp.percentile(flat[::step], 99.9),
                     init_fn=lambda: jnp.zeros((), jnp.float32),
                     reduce_fn=jnp.maximum,
                 )

@@ -58,7 +58,7 @@ def main() -> int:
     p = argparse.ArgumentParser(description="BASELINE.md benchmark matrix")
     p.add_argument("--configs", nargs="+",
                    default=["serve", "tta", "decomposed", "train", "latency"],
-                   choices=["serve", "tta", "decomposed", "train", "latency"])
+                   choices=["serve", "int8", "tta", "decomposed", "train", "latency"])
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
 
@@ -100,6 +100,17 @@ def main() -> int:
         model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
         serve = serving_fn(model, fused_vars)
         _emit("yolov5s_640_bs32_serve", _hard_time(lambda: serve(images), sync_det, args.iters))
+
+    if "int8" in args.configs:
+        # int8 PTQ serving path (compress/quantize): s8 x s8 -> s32 convs,
+        # 2x the bf16 MXU rate on v5e. Synthetic-batch calibration —
+        # throughput only (accuracy deltas recorded in STATUS.md).
+        from ayolov2_tpu.compress.quantize import quantize_model
+
+        calib = [images.astype(jnp.bfloat16) / 255.0]
+        qmodel, qvars = quantize_model(MODEL_CFG, fused_vars, calib, dtype=jnp.bfloat16)
+        serve_q = serving_fn(qmodel, qvars)
+        _emit("yolov5s_640_bs32_serve_int8", _hard_time(lambda: serve_q(images), sync_det, args.iters))
 
     if "latency" in args.configs:
         # p50 end-to-end latency (BASELINE.md metric trio), bs=1: each call

@@ -71,6 +71,11 @@ def get_parser() -> argparse.ArgumentParser:
                              "without this flag we match that fallback)")
     parser.add_argument("--calib-batches", type=int, default=8,
                         help="number of calibration batches (int8 only)")
+    parser.add_argument("--calib-method", type=str, default="absmax",
+                        choices=["absmax", "p999"],
+                        help="int8 input-range calibration: full absmax "
+                             "(default; measured better, see STATUS.md) or "
+                             "99.9th-percentile clipping")
     parser.add_argument("--rect", action="store_true", dest="rect", default=True,
                         help="reference parity: exported graphs are fixed-shape; "
                              "rect affects only the val-side loader")
@@ -125,7 +130,7 @@ def main() -> None:
         LOGGER.info("int8 calibration on %d images from %s", n_img, args.calib_dir)
         _, variables = quantize_model(
             model_cfg, variables, batches, dtype=dtype, nc=args.nc,
-            decompose_map=decompose_map,
+            decompose_map=decompose_map, method=args.calib_method,
         )
 
     if args.out:

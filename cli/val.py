@@ -91,6 +91,11 @@ def get_parser() -> argparse.ArgumentParser:
                              "--calib-batches val batches")
     parser.add_argument("--calib-batches", type=int, default=4,
                         help="calibration batches for --int8")
+    parser.add_argument("--calib-method", type=str, default="absmax",
+                        choices=["absmax", "p999"],
+                        help="int8 input-range calibration: full absmax "
+                             "(default; measured better on the fixture, see "
+                             "STATUS.md) or 99.9th-percentile clipping")
     parser.add_argument("--profile-step", type=int, default=0, help="profile forward N times")
     parser.add_argument("-v", "--verbose", type=int, nargs="?", const=1, default=1,
                         help="verbosity level (reference type; >=2 = per-class metrics)")
@@ -239,6 +244,7 @@ def main() -> dict:
         model, variables = quantize_model(
             model_cfg, variables, batches, dtype=dtype,
             nc=None if args.single_cls else nc, decompose_map=decompose_map,
+            method=args.calib_method,
         )
 
     if args.profile_step > 0 or args.profile:

@@ -85,6 +85,19 @@ def test_quantize_params_structure(tiny_fused):
     assert all("q_kernel" not in str(p) for p in jax.tree_util.tree_leaves_with_path(head))
 
 
+def test_p999_calibration_clips_range(tiny_fused):
+    cfg, _, fused = tiny_fused
+    calib_model = build_model(cfg, dtype=jnp.float32, fused=True, nc=20, quant="calib")
+    stats = collect_activation_stats(calib_model, fused, _calib_batches())
+    # percentile range is never wider than the absmax range
+    assert float(stats["model_1"]["in_p999"]) <= float(stats["model_1"]["in_absmax"])
+    q_abs = quantize_params(fused, stats, method="absmax")
+    q_p = quantize_params(fused, stats, method="p999")
+    s_abs = float(q_abs["params"]["model_1"]["conv"]["in_scale"])
+    s_p = float(q_p["params"]["model_1"]["conv"]["in_scale"])
+    assert 0.0 < s_p <= s_abs
+
+
 def test_quantize_params_rejects_mismatched_stats(tiny_fused):
     _, _, fused = tiny_fused
     with pytest.raises(ValueError, match="no conv was quantized"):
