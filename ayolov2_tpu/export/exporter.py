@@ -39,7 +39,7 @@ LOGGER = get_logger(__name__)
 
 def make_serving_fn(
     model,
-    variables: Dict[str, Any],
+    variables: Optional[Dict[str, Any]],
     conf_thres: float = 0.001,
     iou_thres: float = 0.65,
     top_k: int = 512,
@@ -60,6 +60,11 @@ def make_serving_fn(
     ``fused_decode``: decode only the obj-prefiltered candidates in fp32
     (ops/nms.fused_decode_nms) — ~25x less decode HBM traffic; requires
     ``img_hw`` for the grid constants.
+
+    ``variables=None`` returns the two-argument core ``(variables, images)``
+    instead of closing over the params — required for sharded serving and
+    for yolov5l/x through the remote-compile service (closure-captured
+    weights bake into the HLO as constants; >150MB payloads are rejected).
     """
     if fused_decode and include_nms:
         assert img_hw is not None, "fused_decode needs img_hw for grid constants"
@@ -71,9 +76,9 @@ def make_serving_fn(
             jnp.asarray(v) for v in flat_grid_meta(model.strides, head.anchor_grid(), img_hw)
         )
 
-        def serve_fused(images: jax.Array):
+        def serve_fused(v, images: jax.Array):
             imgs = images.astype(image_dtype) / jnp.asarray(255.0, image_dtype)
-            raw = model.apply(variables, imgs, training=True)
+            raw = model.apply(v, imgs, training=True)
             return fused_decode_nms(
                 flatten_raw_maps(raw),
                 grid_xy, anchor_wh, stride,
@@ -85,11 +90,13 @@ def make_serving_fn(
                 multi_label=False,
             )
 
-        return serve_fused
+        if variables is None:
+            return serve_fused
+        return lambda images: serve_fused(variables, images)
 
-    def serve(images: jax.Array):
+    def serve(v, images: jax.Array):
         imgs = images.astype(image_dtype) / jnp.asarray(255.0, image_dtype)
-        decoded, _ = model.apply(variables, imgs, training=False)
+        decoded, _ = model.apply(v, imgs, training=False)
         decoded = decoded.astype(jnp.float32)
         if not include_nms:
             return decoded
@@ -103,7 +110,9 @@ def make_serving_fn(
             multi_label=False,
         )
 
-    return serve
+    if variables is None:
+        return serve
+    return lambda images: serve(variables, images)
 
 
 def export_serving(

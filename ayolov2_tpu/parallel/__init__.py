@@ -18,8 +18,10 @@ from ayolov2_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from ayolov2_tpu.parallel.serve import make_sharded_serving_fn
 
 __all__ = [
+    "make_sharded_serving_fn",
     "get_mesh",
     "batch_sharding",
     "replicate",
