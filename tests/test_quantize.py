@@ -155,6 +155,26 @@ def test_export_int8_roundtrip(tiny_fused, tmp_path):
     assert yaml.safe_load(open(paths["yaml"]))["quant"] is True
 
 
+def test_decomposed_convs_stay_float(tiny_fused):
+    """Tucker-decomposed stacks are excluded from the int8 path (layers.
+    _quantizable ranks check) — both at calibration and at quantize time."""
+    cfg, _, fused = tiny_fused
+    from ayolov2_tpu.models.builder import build_model as bm
+
+    # decompose model_1's conv: params tree then has conv_first/core/last
+    dmap = (("model_1", (4, 8)),)
+    model_d = bm(cfg, dtype=jnp.float32, nc=20, decompose_map=dmap)
+    variables = init_model(model_d, jax.random.PRNGKey(0), img_size=64)
+    fused_d = fuse_params(variables)
+    calib_model = bm(cfg, dtype=jnp.float32, fused=True, nc=20,
+                     decompose_map=dmap, quant="calib")
+    stats = collect_activation_stats(calib_model, fused_d, _calib_batches(n=1))
+    assert "in_absmax" not in stats.get("model_1", {})
+    qvars = quantize_params(fused_d, stats)
+    assert "conv_core" in qvars["params"]["model_1"]
+    assert "q_kernel" not in str(jax.tree_util.tree_leaves_with_path(qvars["params"]["model_1"]))
+
+
 def test_quantize_model_accepts_unfused_variables():
     cfg = _tiny_cfg()
     model = build_model(cfg, dtype=jnp.float32, nc=20)
