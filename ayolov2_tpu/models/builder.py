@@ -208,6 +208,13 @@ class YOLOModel(nn.Module):
     # "calib" (sow per-conv input absmax) | True (int8 convs; params from
     # compress/quantize.quantize_params). Requires fused=True.
     quant: Any = False
+    # per-layer activation rematerialization (jax.checkpoint via nn.remat):
+    # the backward pass recomputes each layer's activations instead of
+    # storing them — trades ~1 extra forward of FLOPs for O(layer) live
+    # activation memory, the standard XLA lever for bigger per-chip batches
+    # / larger models (yolov5x@640). Training-path only; no effect on
+    # inference. Enabled by the trainer via cfg train.remat.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False, start_layer: int = 0):
@@ -227,6 +234,20 @@ class YOLOModel(nn.Module):
         saved: Dict[int, jax.Array] = {}
         y: Any = x.astype(self.dtype)
         specs = self.specs[start_layer:]
+
+        # Layer-granular remat: each module call becomes a checkpoint
+        # boundary (training is baked static into the closure so module-
+        # internal Python branches on it stay trace-time).
+        def _call_train(mod, z):
+            return mod(z, True)
+
+        remat_call = (
+            nn.remat(_call_train) if (self.remat and training) else None
+        )
+
+        def run(mod, z):
+            return remat_call(mod, z) if remat_call is not None else mod(z, training)
+
         for spec in specs:
             if spec.module == "YOLOHead":
                 feats = [saved[f] if f >= 0 else y for f in spec.from_idx]
@@ -251,13 +272,13 @@ class YOLOModel(nn.Module):
                 y = jnp.concatenate(inp, axis=-1)
             elif spec.module == "C3":
                 # repeat is folded into the module's internal bottleneck count
-                y = _make_module(spec, self.dtype, self.fused, f"model_{spec.index}", quant=self.quant)(inp, training)
+                y = run(_make_module(spec, self.dtype, self.fused, f"model_{spec.index}", quant=self.quant), inp)
             else:
                 y = inp
                 s2d = self.s2d_stem if spec.index == 0 else False
                 for r in range(spec.repeat):
                     name = f"model_{spec.index}" if spec.repeat == 1 else f"model_{spec.index}_{r}"
-                    y = _make_module(spec, self.dtype, self.fused, name, s2d=s2d, quant=self.quant)(y, training)
+                    y = run(_make_module(spec, self.dtype, self.fused, name, s2d=s2d, quant=self.quant), y)
 
             if spec.index in self.save:
                 saved[spec.index] = y
@@ -292,6 +313,7 @@ def build_model(
     decompose_map: Any = (),
     s2d_stem: Any = False,
     quant: Any = False,
+    remat: bool = False,
 ) -> YOLOModel:
     """Build a YOLOModel from a model YAML path or dict.
 
@@ -326,6 +348,7 @@ def build_model(
         decompose_map=tuple(decompose_map),
         s2d_stem=s2d_stem,
         quant=quant,
+        remat=remat,
     )
 
 

@@ -92,7 +92,12 @@ def main() -> None:
         assert model_cfg, "checkpoint lacks an embedded model config; pass a YAML"
     else:
         model_cfg = parse_model_config(args.model)
-    model = build_model(model_cfg, dtype=jnp.bfloat16 if tcfg.get("half", True) else jnp.float32, nc=nc)
+    # train.remat: per-layer activation rematerialization (jax.checkpoint) —
+    # ~1 extra forward of FLOPs buys O(layer) live activation memory, for
+    # bigger per-chip batches / yolov5x-scale models (gradient parity is
+    # bit-exact, tests/test_models.py::test_remat_grad_parity)
+    model = build_model(model_cfg, dtype=jnp.bfloat16 if tcfg.get("half", True) else jnp.float32, nc=nc,
+                        remat=bool(tcfg.get("remat", False)))
 
     stride = int(max(model.stride))
     img_size = check_img_size(int(tcfg["image_size"]), stride)

@@ -264,3 +264,31 @@ def test_s2d_slice_mode_guarded_on_tpu(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     with pytest.raises(ValueError, match="faults the TPU worker"):
         model.init(jax.random.PRNGKey(0), x, training=False)
+
+
+def test_remat_grad_parity(small_model):
+    """train.remat (per-layer jax.checkpoint) is bit-exact vs the plain
+    graph: same loss, same grads, same BatchNorm stat updates — only the
+    backward-pass memory/FLOPs trade changes."""
+    cfg, m0, v = small_model
+    m1 = build_model(cfg, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3), np.float32))
+
+    def loss(model):
+        def f(p):
+            raw, mut = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x, training=True, mutable=["batch_stats"],
+            )
+            return sum(jnp.sum(r * r) for r in raw), mut["batch_stats"]
+
+        (l, nb), g = jax.value_and_grad(f, has_aux=True)(v["params"])
+        return l, g, nb
+
+    l0, g0, b0 = loss(m0)
+    l1, g1, b1 = loss(m1)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(b0), jax.tree_util.tree_leaves(b1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
