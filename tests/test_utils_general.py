@@ -82,3 +82,30 @@ def test_init_seeds_deterministic():
     g2 = init_seeds(7)
     b = (random.random(), np.random.rand(), g2.random())
     assert a == b
+
+
+def test_cfg_and_data_config_inventory_matches_reference():
+    """Every cfg/data YAML the reference ships exists here under the same
+    name and parses with the expected sections (finetune/experimental/
+    simclr presets, coco_repr)."""
+    import os
+
+    import yaml as _yaml
+
+    ref_root = "/root/reference/res/configs"
+    if not os.path.isdir(ref_root):
+        import pytest as _pytest
+
+        _pytest.skip("reference mount unavailable")
+    for sub, required in [("cfg", None), ("data", {"train_path", "val_path"})]:
+        ref = sorted(f for f in os.listdir(f"{ref_root}/{sub}") if f.endswith(".yaml"))
+        ours_dir = f"res/configs/{sub}"
+        missing = [f for f in ref if not os.path.exists(f"{ours_dir}/{f}")]
+        assert not missing, f"{sub} configs missing vs reference: {missing}"
+        for f in ref:
+            cfg = _yaml.safe_load(open(f"{ours_dir}/{f}"))
+            assert isinstance(cfg, (dict, list)) and cfg, f
+            if required and isinstance(cfg, dict):
+                assert required <= set(cfg), (f, set(cfg))
+            if sub == "cfg" and isinstance(cfg, dict) and "train" in cfg:
+                assert "hyper_params" in cfg or "rl_type" in str(cfg), f
