@@ -95,13 +95,63 @@ def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
     return raw
 
 
+def load_torch_variables(
+    path: Union[str, Path], model_cfg: Union[str, Dict[str, Any]], prefer_ema: bool = True,
+    nc: Optional[int] = None,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference ``.pt`` checkpoint -> (unfused fp32 variables, meta).
+
+    The reference CLIs take ``.pt`` weights directly (val.py:241-278,
+    train.py accepts ``--model yolov5l_kindle.pt`` in the SWA workflow,
+    README.md:380-385); this gives every CLI here the same capability. The
+    torch state_dict is name/shape-mapped into a template built from
+    ``model_cfg`` (required — a torch pickle carries no kindle YAML we can
+    trust), so the returned tree is a drop-in for :func:`load_variables`.
+    """
+    import jax as _jax  # local: keep module import light for non-jax users
+
+    from ayolov2_tpu.models import build_model, init_model
+    from ayolov2_tpu.models.builder import parse_model_config
+    from ayolov2_tpu.utils.torch_import import (
+        load_torch_checkpoint,
+        torch_state_dict_to_pytree,
+    )
+
+    assert model_cfg, f"loading {path}: reference .pt weights need --model-cfg"
+    cfg = parse_model_config(model_cfg)
+    # nc overrides the YAML's class count so e.g. a VOC-trained .pt maps its
+    # head convs into a matching template instead of warning them away
+    template = build_model(cfg, dtype=jnp.float32, nc=nc)
+    variables = init_model(template, _jax.random.PRNGKey(0), img_size=64)
+    sd = load_torch_checkpoint(str(path), prefer_ema=prefer_ema)
+    params, stats, n_matched, unmatched = torch_state_dict_to_pytree(
+        sd, variables["params"], variables.get("batch_stats", {})
+    )
+    if unmatched:
+        from ayolov2_tpu.utils.logger import get_logger
+
+        get_logger(__name__).warning(
+            "torch import %s: %d matched, %d unmatched (first: %s)",
+            path, n_matched, len(unmatched), unmatched[:5],
+        )
+    meta = {"model_cfg": json.dumps(cfg), "torch_import": str(path)}
+    return {"params": params, "batch_stats": stats}, meta
+
+
 def load_variables(
-    path: Union[str, Path], prefer_ema: bool = True, dtype=np.float32
+    path: Union[str, Path], prefer_ema: bool = True, dtype=np.float32,
+    model_cfg: Union[str, Dict[str, Any], None] = None, nc: Optional[int] = None,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Checkpoint -> ({'params', 'batch_stats'} fp32, meta dict).
 
     Prefers the EMA branch like the reference loaders (torch_utils.py:241-252).
+    ``.pt`` paths are imported from the reference's torch format on the fly
+    (``model_cfg`` required for those; see :func:`load_torch_variables`).
     """
+    if str(path).endswith(".pt"):
+        variables, meta = load_torch_variables(path, model_cfg, prefer_ema=prefer_ema, nc=nc)
+        variables["params"] = _cast_tree(variables["params"], dtype)
+        return variables, meta
     raw = load_checkpoint(path)
     branch = raw.get("ema") if prefer_ema and raw.get("ema") else raw["model"]
     variables = {

@@ -112,7 +112,8 @@ def main() -> None:
 
         args._plot_dir = str(make_run_dir(args.dst, "decompose"))
 
-    variables, meta = load_variables(args.weights, prefer_ema=True)
+    variables, meta = load_variables(args.weights, prefer_ema=True, model_cfg=args.model_cfg,
+                                     nc=int(data_cfg["nc"]))
     model_cfg = args.model_cfg or (json.loads(meta["model_cfg"]) if meta.get("model_cfg") else None)
     assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"
     if isinstance(model_cfg, str):

@@ -77,7 +77,8 @@ def main() -> None:
     initialize_distributed()
 
     # teacher: fused eval graph from its checkpoint
-    t_vars, t_meta = load_variables(args.teacher, prefer_ema=True)
+    t_vars, t_meta = load_variables(args.teacher, prefer_ema=True,
+                                    model_cfg=args.teacher_cfg or args.model, nc=nc)
     if args.teacher_cfg:
         t_cfg = parse_model_config(args.teacher_cfg)
     else:

@@ -101,7 +101,8 @@ def main() -> None:
         LOGGER.warning("INT8 calibrator must be provided. Switching to float precision.")
         args.dtype = "fp16"
 
-    variables, meta = load_variables(args.weights, prefer_ema=True)
+    variables, meta = load_variables(args.weights, prefer_ema=True, model_cfg=args.model_cfg,
+                                     nc=args.nc)
     model_cfg = json.loads(meta["model_cfg"]) if meta.get("model_cfg") else None
     if args.model_cfg:
         new_cfg = parse_model_config(args.model_cfg)

@@ -86,7 +86,17 @@ def main() -> None:
 
     # --- model: YAML config or checkpoint (train.py:136-145) ---
     init_weights = None
-    if args.model.endswith((".ckpt", ".pt")):
+    if args.model.endswith(".pt"):
+        # a torch pickle carries no kindle YAML we can rebuild from — take
+        # the reference-.pt weights via the config instead (README.md:380-385
+        # SWA finetune analogue): --model <yaml> + cfg train.weights: <pt>
+        raise SystemExit(
+            f"--model {args.model}: reference .pt weights can't define the graph "
+            "here; pass --model <model yaml> and set `weights: "
+            f"{args.model}` in the train config (or convert once with "
+            "cli/import_torch_weights.py)"
+        )
+    if args.model.endswith(".ckpt"):
         init_weights, meta = load_variables(args.model, prefer_ema=True)
         model_cfg = json.loads(meta["model_cfg"]) if meta.get("model_cfg") else None
         assert model_cfg, "checkpoint lacks an embedded model config; pass a YAML"
@@ -153,7 +163,9 @@ def main() -> None:
             variables["batch_stats"] = bs_merged
         LOGGER.info("Transferred %d/%d param tensors from %s", n_match, n_total, args.model)
     elif tcfg.get("weights"):
-        w, _ = load_variables(tcfg["weights"], prefer_ema=True)
+        # reference .pt accepted here too (SWA finetune: --model <yaml> with
+        # cfg train.weights: yolov5l_kindle.pt, README.md:380-385)
+        w, _ = load_variables(tcfg["weights"], prefer_ema=True, model_cfg=model_cfg, nc=nc)
         merged, n_match, n_total = intersect_trees(w["params"], variables["params"])
         variables["params"] = merged
         LOGGER.info("Transferred %d/%d param tensors from %s", n_match, n_total, tcfg["weights"])

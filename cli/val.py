@@ -190,7 +190,8 @@ def main() -> dict:
     variables, meta = ({"params": {}, "batch_stats": {}}, {})
     model_cfg = args.model_cfg
     if args.weights:
-        variables, meta = load_variables(args.weights, prefer_ema=True)
+        variables, meta = load_variables(args.weights, prefer_ema=True, model_cfg=args.model_cfg,
+                                         nc=None if args.single_cls else nc)
         if not model_cfg and meta.get("model_cfg"):
             model_cfg = json.loads(meta["model_cfg"])
     assert model_cfg, "need --model-cfg or a checkpoint with embedded model config"

@@ -119,7 +119,8 @@ def main() -> dict:
         from ayolov2_tpu.utils.wandb_utils import get_ckpt_path
 
         args.weights = get_ckpt_path(args.weights)  # wandb run-path support
-        variables, meta = load_variables(args.weights, prefer_ema=True)
+        variables, meta = load_variables(args.weights, prefer_ema=True, model_cfg=args.model_cfg,
+                                         nc=nc)
         if not model_cfg and meta.get("model_cfg"):
             model_cfg = json.loads(meta["model_cfg"])
         if meta.get("decompose_map"):

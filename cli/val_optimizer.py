@@ -250,7 +250,8 @@ def main() -> None:
     data_cfg = load_yaml(args.data_cfg)
     space = load_yaml(args.optim_cfg)
 
-    variables, meta = load_variables(args.weights, prefer_ema=True)
+    variables, meta = load_variables(args.weights, prefer_ema=True, model_cfg=args.model_cfg,
+                                     nc=int(data_cfg["nc"]))
     variables = fuse_params(variables)
     model_cfg = args.model_cfg or json.loads(meta["model_cfg"])
 

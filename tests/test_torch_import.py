@@ -76,3 +76,41 @@ def test_torch_tensor_inputs():
         sd_t, variables["params"], variables["batch_stats"]
     )
     assert not unmatched and n > 0
+
+
+def test_load_variables_pt_path(tmp_path):
+    """Every CLI accepts a reference .pt directly: load_variables imports it.
+
+    Mirrors the reference loaders' .pt handling (val.py:241-278 weight arg,
+    torch_utils.py:241-252 ema-branch preference)."""
+    import torch
+
+    from ayolov2_tpu.utils.checkpoint import load_variables
+
+    cfg = "res/configs/model/yolov5n.yaml"
+    model = build_model(cfg, dtype=jnp.float32)
+    variables = init_model(model, jax.random.PRNGKey(1), img_size=64)
+    sd_np = pytree_to_torch_state_dict(variables["params"], variables["batch_stats"])
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+    pt = tmp_path / "yolov5n_ref.pt"
+    # reference checkpoint shape: {"model": ..., "ema": state_dict, "epoch": N}
+    torch.save({"model": None, "ema": sd_t, "epoch": 7}, pt)
+
+    got, meta = load_variables(str(pt), prefer_ema=True, model_cfg=cfg)
+    assert meta.get("model_cfg")  # downstream CLIs rebuild the graph from this
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["params"]),
+        jax.tree_util.tree_leaves(got["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["batch_stats"]),
+        jax.tree_util.tree_leaves(got["batch_stats"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a .pt without a model cfg must fail loudly, not mis-load
+    import pytest
+
+    with pytest.raises(AssertionError, match="model-cfg"):
+        load_variables(str(pt), prefer_ema=True)
