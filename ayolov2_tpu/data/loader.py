@@ -16,11 +16,15 @@ with a multi-worker thread-prefetched loader producing XLA-friendly batches:
     never double-count the padding (reference runs a short last batch —
     scripts/utils/train_utils.py:403-472 semantics preserved via n_real).
 
-Workers are threads, not processes (the reference uses a multi-worker
-torch DataLoader, data_loader_utils.py:96-116): cv2/numpy release the GIL
-for the heavy ops and threads avoid fork+JAX issues. ``workers=N`` builds N
-batches concurrently; ordered reassembly keeps the epoch sequence
-deterministic regardless of which worker finishes first.
+Workers default to THREADS (cv2/numpy release the GIL for the heavy ops and
+threads avoid fork+JAX issues and result-pickling copies); an opt-in
+``workers_mode="process"`` forks a worker pool instead — the reference's
+multi-process torch DataLoader shape (data_loader_utils.py:96-116) — for
+hosts where Python-side augmentation cost dominates and GIL contention
+bites. ``workers=N`` builds N batches concurrently in either mode; ordered
+reassembly keeps the epoch sequence deterministic regardless of which
+worker finishes first. Thread-vs-process is measured head-to-head by
+``cli/bench_loader.py``.
 """
 
 from __future__ import annotations
@@ -70,7 +74,13 @@ class DataLoader:
         shuffle: reshuffle each epoch (seeded).
         drop_last: drop the trailing partial batch (train mode keeps shapes
             static; val mode pads the final batch instead and reports n_real).
-        workers: number of concurrent batch-builder threads.
+        workers: number of concurrent batch builders.
+        workers_mode: "thread" (default) or "process" (forked worker pool,
+            reference data_loader_utils.py:96-116 parity; results cross a
+            pipe so each batch pays one pickle copy). Note: in process mode
+            lazy ("dynamic") image-cache fills happen in the children and
+            are lost at epoch end — pre-filled caches (``mem``/``disk``)
+            are shared read-only via fork and work in both modes.
         max_labels_per_image: label capacity per image for pad_targets.
         shard: (host_index, host_count) input sharding.
 
@@ -91,6 +101,7 @@ class DataLoader:
         detection: bool = True,
         seed: int = 0,
         pad_final_batch: bool = True,
+        workers_mode: str = "thread",
     ) -> None:
         self.dataset = dataset
         self.global_batch_size = batch_size
@@ -100,6 +111,9 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.workers = max(1, workers)
+        if workers_mode not in ("thread", "process"):
+            raise ValueError(f"workers_mode must be 'thread' or 'process', got {workers_mode!r}")
+        self.workers_mode = workers_mode
         self.max_labels = max_labels_per_image
         self.detection = detection
         self.seed = seed
@@ -172,6 +186,22 @@ class DataLoader:
                 short = self.batch_size - len(batches[-1])
                 batches[-1] = np.concatenate([batches[-1], batches[-1][:1].repeat(short)])
 
+        it = (
+            self._iter_processes(batches, n_real)
+            if self.workers_mode == "process"
+            else self._iter_threads(batches, n_real)
+        )
+        yield from it
+        self.epoch += 1
+
+    def _pos0(self, i: int) -> int:
+        # GLOBAL epoch-position salt (shard-unique): two hosts at the same
+        # local position must not seed identical augmentation RNG for a
+        # resampled duplicate index
+        sidx, scnt = self.shard
+        return sidx + scnt * (i * self.batch_size)
+
+    def _iter_threads(self, batches: List[np.ndarray], n_real: List[int]) -> Iterator:
         n_batches = len(batches)
         results: dict = {}
         errors: List[BaseException] = []
@@ -195,15 +225,8 @@ class DataLoader:
                     else:
                         return
                 try:
-                    # GLOBAL epoch-position salt (shard-unique): two hosts at
-                    # the same local position must not seed identical
-                    # augmentation RNG for a resampled duplicate index
-                    sidx, scnt = self.shard
                     built = self._build(
-                        batches[i],
-                        n_real[i],
-                        pos0=sidx + scnt * (i * self.batch_size),
-                        stride=scnt,
+                        batches[i], n_real[i], pos0=self._pos0(i), stride=self.shard[1]
                     )
                 except BaseException as e:  # propagate to the consumer
                     with cond:
@@ -235,4 +258,78 @@ class DataLoader:
             stop.set()
             with cond:
                 cond.notify_all()
-        self.epoch += 1
+
+    def _iter_processes(self, batches: List[np.ndarray], n_real: List[int]) -> Iterator:
+        """Forked worker-pool epoch (reference data_loader_utils.py:96-116
+        parity). Fork is per-epoch so workers see the current dataset epoch
+        and caches via copy-on-write; each finished batch crosses a pipe
+        (one pickle copy) and is reassembled in order by the consumer."""
+        import multiprocessing as mp
+
+        n_batches = len(batches)
+        if n_batches == 0:
+            return
+        ctx = mp.get_context("fork")
+        n_workers = min(self.workers, n_batches)
+        max_ahead = 2 * self.workers
+        task_q: "mp.Queue" = ctx.Queue()
+        result_q: "mp.Queue" = ctx.Queue()
+
+        def worker() -> None:
+            while True:
+                i = task_q.get()
+                if i is None:
+                    return
+                try:
+                    built = self._build(
+                        batches[i], n_real[i], pos0=self._pos0(i), stride=self.shard[1]
+                    )
+                    result_q.put((i, built))
+                except BaseException as e:  # surface in the consumer
+                    try:
+                        result_q.put((i, _WorkerError(e)))
+                    except Exception:
+                        result_q.put((i, _WorkerError(RuntimeError(repr(e)))))
+                    return
+
+        procs = [ctx.Process(target=worker, daemon=True, name=f"loader-p{k}") for k in range(n_workers)]
+        for p in procs:
+            p.start()
+        try:
+            issued = min(max_ahead, n_batches)
+            for i0 in range(issued):
+                task_q.put(i0)
+            buffered: dict = {}
+            for i in range(n_batches):
+                while i not in buffered:
+                    j, built = result_q.get()
+                    if isinstance(built, _WorkerError):
+                        raise built.error
+                    buffered[j] = built
+                if issued < n_batches:
+                    task_q.put(issued)
+                    issued += 1
+                yield buffered.pop(i)
+        finally:
+            for _ in procs:
+                try:
+                    task_q.put(None)
+                except Exception:
+                    pass
+            for p in procs:
+                p.join(timeout=2.0)
+                if p.is_alive():
+                    p.terminate()
+
+
+class _WorkerError:
+    """Pickle-safe exception envelope for the process-mode result pipe."""
+
+    def __init__(self, error: BaseException) -> None:
+        try:
+            import pickle
+
+            pickle.dumps(error)
+            self.error = error
+        except Exception:
+            self.error = RuntimeError(repr(error))

@@ -117,7 +117,11 @@ def load_torch_variables(
         torch_state_dict_to_pytree,
     )
 
-    assert model_cfg, f"loading {path}: reference .pt weights need --model-cfg"
+    if not model_cfg:
+        # explicit error (not assert: survives ``python -O``) — a torch
+        # pickle carries no kindle YAML we can trust, so the graph template
+        # must come from the caller
+        raise ValueError(f"loading {path}: reference .pt weights need --model-cfg")
     cfg = parse_model_config(model_cfg)
     # nc overrides the YAML's class count so e.g. a VOC-trained .pt maps its
     # head convs into a matching template instead of warning them away
@@ -134,7 +138,15 @@ def load_torch_variables(
             "torch import %s: %d matched, %d unmatched (first: %s)",
             path, n_matched, len(unmatched), unmatched[:5],
         )
-    meta = {"model_cfg": json.dumps(cfg), "torch_import": str(path)}
+    # store the EFFECTIVE class count: a consumer that rebuilds the graph
+    # from the embedded cfg (e.g. export.py) must get head shapes matching
+    # the imported params even when nc overrode the YAML's n_classes
+    meta = {
+        "model_cfg": json.dumps({**cfg, "n_classes": int(template.nc)}),
+        "torch_import": str(path),
+        "torch_matched": int(n_matched),
+        "torch_unmatched": len(unmatched),
+    }
     return {"params": params, "batch_stats": stats}, meta
 
 

@@ -48,6 +48,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--batches", type=int, default=20, help="timed batches per phase")
     p.add_argument("--no-step", action="store_true", help="skip the device step phase")
     p.add_argument(
+        "--workers-mode", "--workers_mode", type=str, default="both",
+        choices=["thread", "process", "both"],
+        help="worker pool kind to measure; 'both' benches thread-vs-process "
+        "head-to-head (reference multi-process workers: "
+        "scripts/data_loader/data_loader_utils.py:96-116)",
+    )
+    p.add_argument(
         "--cache", type=str, default="dynamic_mem",
         choices=["cfg", "none", "mem", "dynamic_mem", "disk", "dynamic_disk"],
         help="image cache for the steady-state measurement (epoch 1 pays "
@@ -157,8 +164,9 @@ def main() -> int:
         yolo_augmentation={**train_cfg["hyper_params"], **train_cfg["yolo_augmentation"]},
         augmentation=train_cfg.get("augmentation"),
     )
+    modes = ["thread", "process"] if args.workers_mode == "both" else [args.workers_mode]
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=True, drop_last=True,
-                        workers=workers)
+                        workers=workers, workers_mode=modes[0])
     if len(loader) == 0:
         LOGGER.error("dataset too small for batch_size=%d", batch_size)
         return 1
@@ -166,15 +174,27 @@ def main() -> int:
     # cold pass = epoch-1 cost (JPEG decode + resize per sample, filling the
     # cache); steady state = every later epoch (decoded-at-target-size reads)
     cold_img_s = bench_loader(loader, args.batches)
-    loader_img_s = bench_loader(loader, args.batches) if args.cache != "none" else cold_img_s
-    LOGGER.info(
-        "loader: %.1f img/s steady-state, %.1f img/s cold (workers=%d, cache=%s)",
-        loader_img_s, cold_img_s, workers, args.cache,
-    )
+    per_mode = {}
+    for mode in modes:
+        mode_loader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
+                                 drop_last=True, workers=workers, workers_mode=mode)
+        per_mode[mode] = (
+            bench_loader(mode_loader, args.batches) if args.cache != "none" else cold_img_s
+        )
+        LOGGER.info(
+            "loader[%s]: %.1f img/s steady-state (workers=%d, cache=%s)",
+            mode, per_mode[mode], workers, args.cache,
+        )
+    best_mode = max(per_mode, key=per_mode.get)
+    loader_img_s = per_mode[best_mode]
+    LOGGER.info("loader: %.1f img/s steady-state (best mode=%s), %.1f img/s cold",
+                loader_img_s, best_mode, cold_img_s)
 
     report = {
         "loader_img_s": round(loader_img_s, 1),
         "loader_cold_img_s": round(cold_img_s, 1),
+        "loader_by_mode_img_s": {m: round(v, 1) for m, v in per_mode.items()},
+        "best_workers_mode": best_mode,
         "cache": args.cache,
         "workers": workers,
         "batch_size": batch_size,

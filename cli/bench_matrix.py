@@ -32,6 +32,8 @@ _jax_setup()
 BATCH, SIZE = 32, 640
 MODEL_CFG = "res/configs/model/yolov5s.yaml"
 
+ROWS: list = []  # every emitted row, for the --out artifact
+
 
 def _hard_time(fn, sync, iters=20):
     for _ in range(3):
@@ -47,19 +49,25 @@ def _hard_time(fn, sync, iters=20):
     return (time.perf_counter() - t0 - t1) / iters
 
 
-def _emit(name, t, batch=BATCH):
-    print(json.dumps({
+def _emit(name, t, batch=BATCH, **extra):
+    row = {
         "metric": name, "value": round(batch / t, 2),
         "unit": "images/sec/chip", "ms_per_batch": round(t * 1e3, 2),
-    }), flush=True)
+        **extra,
+    }
+    ROWS.append(row)
+    print(json.dumps(row), flush=True)
 
 
 def main() -> int:
     p = argparse.ArgumentParser(description="BASELINE.md benchmark matrix")
     p.add_argument("--configs", nargs="+",
                    default=["serve", "tta", "decomposed", "train", "latency"],
-                   choices=["serve", "int8", "tta", "decomposed", "train", "latency"])
+                   choices=["serve", "int8", "tta", "decomposed", "train", "latency", "sweep"])
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--out", type=str, default="",
+                   help="also write every row to this JSON file (committed "
+                        "evidence artifact, runs/bench_matrix/*.json)")
     args = p.parse_args()
 
     import jax
@@ -79,18 +87,19 @@ def main() -> int:
     nms_kw = dict(conf_thres=0.001, iou_thres=0.65, nms_box=512, pre_top_k=512,
                   keep_top_k=100, multi_label=False)
 
-    def serving_fn(model, fvars):
+    def serving_fn(model, fvars, **nms_overrides):
         head = YOLOHead(nc=model.nc, anchors=model.anchors, strides=model.strides)
         grid_xy, anchor_wh, stride = (
             jnp.asarray(v)
             for v in flat_grid_meta(model.strides, head.anchor_grid(), (SIZE, SIZE))
         )
+        kw = {**nms_kw, **nms_overrides}
 
         @jax.jit
         def serve(images):
             imgs = images.astype(jnp.bfloat16) / 255.0
             raw = model.apply(fvars, imgs, training=True)
-            return fused_decode_nms(flatten_raw_maps(raw), grid_xy, anchor_wh, stride, **nms_kw)
+            return fused_decode_nms(flatten_raw_maps(raw), grid_xy, anchor_wh, stride, **kw)
 
         return serve
 
@@ -111,6 +120,22 @@ def main() -> int:
         qmodel, qvars = quantize_model(MODEL_CFG, fused_vars, calib, dtype=jnp.bfloat16)
         serve_q = serving_fn(qmodel, qvars)
         _emit("yolov5s_640_bs32_serve_int8", _hard_time(lambda: serve_q(images), sync_det, args.iters))
+
+    if "sweep" in args.configs:
+        # VERDICT r3 task 3: serve operating-point sweep — the north-star
+        # metric is images/sec/chip, not images/sec-at-bs32; decode/NMS and
+        # per-dispatch overhead amortize with batch. bs32 stays the
+        # reference-harness parity row (torchscript_runner/main.cpp:29-48).
+        model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+        for prefilter in ("exact", "approx"):
+            serve_fn = serving_fn(model, fused_vars,
+                                  approx_prefilter=(prefilter == "approx"))
+            for bs in (32, 64, 128):
+                imgs_b = jnp.asarray(
+                    rng.integers(0, 255, (bs, SIZE, SIZE, 3), dtype=np.uint8))
+                t = _hard_time(lambda: serve_fn(imgs_b), sync_det, args.iters)
+                _emit(f"yolov5s_640_bs{bs}_serve_{prefilter}", t, batch=bs,
+                      batch_size=bs, prefilter=prefilter)
 
     if "latency" in args.configs:
         # p50 end-to-end latency (BASELINE.md metric trio), bs=1: each call
@@ -204,6 +229,14 @@ def main() -> int:
         _emit("yolov5s_640_bs32_train_step",
               _hard_time(run_step, lambda r: float(jnp.sum(r)), args.iters))
 
+    if args.out:
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps({
+            "device": jax.devices()[0].platform,
+            "rows": ROWS,
+        }, indent=1))
+        print(f"wrote {len(ROWS)} rows to {out}", file=sys.stderr)
     return 0
 
 

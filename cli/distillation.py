@@ -79,6 +79,19 @@ def main() -> None:
     # teacher: fused eval graph from its checkpoint
     t_vars, t_meta = load_variables(args.teacher, prefer_ema=True,
                                     model_cfg=args.teacher_cfg or args.model, nc=nc)
+    # a reference-.pt teacher without --teacher-cfg falls back to the
+    # STUDENT's --model YAML as its graph template; if the architectures
+    # differ the import leaves most tensors at random init — KD against a
+    # partially random teacher must fail loudly, not proceed on a warning
+    t_unmatched = int(t_meta.get("torch_unmatched", 0))
+    t_matched = int(t_meta.get("torch_matched", 0)) or 1
+    if t_unmatched > 0.25 * (t_matched + t_unmatched):
+        raise SystemExit(
+            f"teacher {args.teacher}: {t_unmatched} of {t_matched + t_unmatched} "
+            "tensors did not match the graph template "
+            f"({args.teacher_cfg or args.model}) — pass --teacher-cfg with the "
+            "YAML the teacher was trained with"
+        )
     if args.teacher_cfg:
         t_cfg = parse_model_config(args.teacher_cfg)
     else:

@@ -136,6 +136,7 @@ def main() -> None:
         shuffle=not tcfg.get("rect", False),
         drop_last=True,
         workers=int(tcfg.get("workers", 4)),
+        workers_mode=str(tcfg.get("workers_mode", "thread")),
         max_labels_per_image=int(tcfg.get("max_labels_per_image", 64)),
         # per-host input sharding (DistributedSampler analogue,
         # data_loader_utils.py:67,101-103): each host loads 1/N of every batch
@@ -165,10 +166,26 @@ def main() -> None:
     elif tcfg.get("weights"):
         # reference .pt accepted here too (SWA finetune: --model <yaml> with
         # cfg train.weights: yolov5l_kindle.pt, README.md:380-385)
-        w, _ = load_variables(tcfg["weights"], prefer_ema=True, model_cfg=model_cfg, nc=nc)
+        w, w_meta = load_variables(tcfg["weights"], prefer_ema=True, model_cfg=model_cfg, nc=nc)
         merged, n_match, n_total = intersect_trees(w["params"], variables["params"])
         variables["params"] = merged
-        LOGGER.info("Transferred %d/%d param tensors from %s", n_match, n_total, tcfg["weights"])
+        # for a .pt the intersect above matches the importer's *template*
+        # (always full) — report and gate on the TORCH-side match counts so
+        # a wrong weights/model-cfg pairing can't masquerade as a transfer
+        t_matched = w_meta.get("torch_matched")
+        t_unmatched = w_meta.get("torch_unmatched", 0)
+        if t_matched is not None:
+            LOGGER.info("Torch import %s: %d tensors matched, %d unmatched",
+                        tcfg["weights"], t_matched, t_unmatched)
+            if t_unmatched > t_matched:
+                raise SystemExit(
+                    f"weights {tcfg['weights']}: {t_unmatched} of "
+                    f"{t_matched + t_unmatched} tensors did not match the "
+                    f"--model graph — wrong weights/model-cfg pairing? "
+                    "(pass the YAML the .pt was trained with)"
+                )
+        else:
+            LOGGER.info("Transferred %d/%d param tensors from %s", n_match, n_total, tcfg["weights"])
 
     trainer = YoloTrainer(
         model,

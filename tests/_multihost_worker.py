@@ -5,8 +5,12 @@ Certifies the reference's DDP contract (train.py:22-26 env bootstrap,
 data_loader_utils.py:67,101-103 per-rank batch split) the TPU-native way:
 jax.distributed + make_global_batch + pjit over the global mesh.
 
-Run: python tests/_multihost_worker.py <process_id> <num_processes> <port>
-Prints: ITEMS [lbox, lobj, lcls, total]
+Run: python tests/_multihost_worker.py <pid> <num_processes> <port> [n_items] [global_bs]
+Prints one "ITEMS [lbox, lobj, lcls, total]" line per batch of one epoch,
+then "N_BATCHES <k>". ``n_items`` not divisible by the process count
+exercises the equal-length shard padding (a host with one extra batch would
+call the collective step alone and deadlock — DistributedSampler semantics,
+data_loader_utils.py:101-103).
 """
 
 import os
@@ -29,8 +33,11 @@ import numpy as np  # noqa: E402
 class ToyDataset:
     """Deterministic synthetic (img, labels, path, shapes) items."""
 
+    def __init__(self, n: int = 8):
+        self.n = n
+
     def __len__(self):
-        return 8
+        return self.n
 
     def __getitem__(self, i):
         rng = np.random.default_rng(1000 + i)
@@ -41,6 +48,8 @@ class ToyDataset:
 
 def main() -> None:
     pid, n_procs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    n_items = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    global_bs = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     os.environ["AYOLO_NUM_PROCS"] = str(n_procs)
     os.environ["AYOLO_PROC_ID"] = str(pid)
     os.environ["AYOLO_COORDINATOR"] = f"localhost:{port}"
@@ -85,13 +94,16 @@ def main() -> None:
         out_shardings=(rep, rep),
     )
 
-    loader = DataLoader(ToyDataset(), batch_size=8, shuffle=False,
+    loader = DataLoader(ToyDataset(n_items), batch_size=global_bs, shuffle=False,
                         shard=(jax.process_index(), jax.process_count()),
                         max_labels_per_image=4, workers=1)
-    batch = next(iter(loader))
-    images, targets, mask = make_global_batch(mesh, batch.images, batch.targets, batch.target_mask)
-    _, items = step(state, jnp.asarray(images), jnp.asarray(targets), jnp.asarray(mask))
-    print("ITEMS", [float(v) for v in np.asarray(items)], flush=True)
+    n_batches = 0
+    for batch in loader:
+        images, targets, mask = make_global_batch(mesh, batch.images, batch.targets, batch.target_mask)
+        _, items = step(state, jnp.asarray(images), jnp.asarray(targets), jnp.asarray(mask))
+        print("ITEMS", [float(v) for v in np.asarray(items)], flush=True)
+        n_batches += 1
+    print("N_BATCHES", n_batches, flush=True)
 
 
 if __name__ == "__main__":

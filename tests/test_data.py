@@ -181,6 +181,43 @@ def test_dataloader_multiworker_matches_single():
         np.testing.assert_array_equal(t1, t4)
 
 
+def test_dataloader_process_mode_matches_thread():
+    """VERDICT r3 task 4: the opt-in forked worker pool (reference
+    data_loader_utils.py:96-116 parity) must produce bit-identical batches
+    in the identical order as the default thread pool."""
+    ds = DetectionDataset(
+        VOC_TRAIN, img_size=320, batch_size=4,
+        yolo_augmentation={"augment": True, "mosaic": 1.0, "hsv_h": 0.015,
+                           "hsv_s": 0.7, "hsv_v": 0.4, "translate": 0.1, "scale": 0.5},
+    )
+    out = {}
+    for mode in ("thread", "process"):
+        ds.epoch = 0
+        dl = DataLoader(ds, batch_size=4, shuffle=True, seed=3, workers=3,
+                        workers_mode=mode)
+        out[mode] = [(b.paths, b.images.copy(), b.targets.copy()) for b in dl]
+    assert len(out["thread"]) == len(out["process"]) > 0
+    for (p1, i1, t1), (p2, i2, t2) in zip(out["thread"], out["process"]):
+        assert p1 == p2
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(t1, t2)
+
+
+def test_dataloader_process_mode_propagates_errors():
+    """A worker-process exception must surface in the consumer, not hang."""
+
+    class _Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom-item")
+
+    dl = DataLoader(_Boom(), batch_size=4, workers=2, workers_mode="process")
+    with pytest.raises(RuntimeError, match="boom-item"):
+        list(dl)
+
+
 def test_dataloader_final_batch_n_real():
     """Padded final batch keeps static shapes but reports the true count."""
     ds = DetectionDataset(VOC_TRAIN, img_size=320, batch_size=3)

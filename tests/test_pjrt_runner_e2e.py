@@ -13,6 +13,8 @@ import os
 import socket
 import subprocess
 import sys
+import time
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -100,22 +102,36 @@ def test_pjrt_runner_matches_python_artifact(tmp_path):
     env = dict(os.environ)
     env.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
     env.setdefault("AXON_LOOPBACK_RELAY", "1")
-    res = subprocess.run(
-        [str(RUNNER), "--plugin", str(PLUGIN),
-         "--program", paths["stablehlo"],
-         "--compile-options", paths["compile_options"],
-         "--batch", "1", "--height", "64", "--width", "64",
-         "--iters", "1", "--warmup", "0",
-         "--input", str(tmp_path / "input.bin"),
-         "--dump-output", str(tmp_path / "cpp"),
-         "--opt", "remote_compile=1", "--opt", "local_only=0",
-         "--opt", "priority=0", "--opt", "topology=v5e:1x1x1",
-         "--opt", "n_slices=1", "--opt", "rank=4294967295",
-         "--opt", f"session_id=pjrt-e2e-{os.getpid()}"],
-        env=env, capture_output=True, text=True, timeout=570,
-    )
-    if res.returncode != 0 and "unclaimed" in (res.stdout + res.stderr):
-        pytest.skip("TPU tunnel busy")
+    cmd = [str(RUNNER), "--plugin", str(PLUGIN),
+           "--program", paths["stablehlo"],
+           "--compile-options", paths["compile_options"],
+           "--batch", "1", "--height", "64", "--width", "64",
+           "--iters", "1", "--warmup", "0",
+           "--input", str(tmp_path / "input.bin"),
+           "--dump-output", str(tmp_path / "cpp"),
+           "--opt", "remote_compile=1", "--opt", "local_only=0",
+           "--opt", "priority=0", "--opt", "topology=v5e:1x1x1",
+           "--opt", "n_slices=1", "--opt", "rank=4294967295",
+           "--opt", f"session_id=pjrt-e2e-{os.getpid()}"]
+    # VERDICT r3 task 6: the tunnel serializes clients, so a busy chip is a
+    # transient — retry with backoff, and make the final skip LOUD (a parity
+    # gate that silently skips under contention stops gating unnoticed)
+    for attempt, backoff_s in enumerate((0, 30, 60)):
+        if backoff_s:
+            time.sleep(backoff_s)
+        res = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=570)
+        busy = res.returncode != 0 and "unclaimed" in (res.stdout + res.stderr)
+        if not busy:
+            break
+        print(f"pjrt gate: TPU tunnel busy (attempt {attempt + 1}/3)", file=sys.stderr)
+    if busy:
+        warnings.warn(
+            "LIVE PJRT PARITY GATE DID NOT RUN: TPU tunnel busy after 3 "
+            "attempts — re-run tests/test_pjrt_runner_e2e.py standalone with "
+            "the chip free",
+            RuntimeWarning,
+        )
+        pytest.skip("TPU tunnel busy after 3 retries — GATE DID NOT RUN")
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
 
     det_cpp = np.frombuffer((tmp_path / "cpp.out0.bin").read_bytes(), np.float32)

@@ -112,5 +112,5 @@ def test_load_variables_pt_path(tmp_path):
     # a .pt without a model cfg must fail loudly, not mis-load
     import pytest
 
-    with pytest.raises(AssertionError, match="model-cfg"):
+    with pytest.raises(ValueError, match="model-cfg"):
         load_variables(str(pt), prefer_ema=True)
