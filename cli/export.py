@@ -85,6 +85,14 @@ def get_parser() -> argparse.ArgumentParser:
                              "has no opset — value is logged only")
     parser.add_argument("--gpu-mem", type=int, default=6,
                         help="reference-CLI parity (TensorRT workspace GiB); logged only")
+    parser.add_argument("--raw-hw", "--raw_hw", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="export the raw-frame variant: input is native "
+                             "HxW uint8 frames, letterbox runs IN-GRAPH and "
+                             "detections return in raw coordinates — the C++ "
+                             "PJRT runner then needs zero host cv2 (beyond "
+                             "the reference: its TRT engine still letterboxes "
+                             "on host, train_utils.py:262-283)")
     parser.add_argument("--verbose", type=int, nargs="?", const=1, default=1)
     return parser
 
@@ -160,11 +168,13 @@ def main() -> None:
         platforms=platforms,
         decompose_map=decompose_map,
         quant=quant,
+        raw_hw=tuple(args.raw_hw) if args.raw_hw else None,
     )
 
     if not args.no_dry_run:
         call = load_exported(paths["jaxexp"])
-        x = np.zeros((args.batch_size, args.img_height, args.img_width, 3), np.uint8)
+        in_h, in_w = args.raw_hw if args.raw_hw else (args.img_height, args.img_width)
+        x = np.zeros((args.batch_size, in_h, in_w, 3), np.uint8)
         outs = call(x)
         outs = outs if isinstance(outs, tuple) else (outs,)
         LOGGER.info("dry run OK: %s", [tuple(np.asarray(o).shape) for o in outs])

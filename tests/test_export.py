@@ -91,3 +91,92 @@ def test_validator_with_exported_artifact(tmp_path):
     result = v.validation()
     assert 0.0 <= result["map50"] <= 1.0
     assert result["seen"] > 0
+
+
+def test_device_letterbox_matches_host_letterbox():
+    """In-graph letterbox (export variant) vs the host cv2 letterbox on a
+    real fixture image: same geometry, same pad value, bilinear numerics
+    within uint8 rounding (reference geometry contract
+    data_loader.py:395-459)."""
+    from pathlib import Path
+
+    import cv2
+    import pytest
+
+    from ayolov2_tpu.data.datasets import letterbox
+    from ayolov2_tpu.export import device_letterbox, letterbox_geometry
+
+    VOC_TRAIN = "/root/reference/tests/res/datasets/VOC/images/train"
+    imgs = sorted(Path(VOC_TRAIN).glob("*.jpg")) or sorted(Path(VOC_TRAIN).glob("*.png"))
+    if not imgs:
+        pytest.skip("fixtures unavailable")
+    im0 = cv2.imread(str(imgs[0]))[:, :, ::-1]  # BGR->RGB like the loader
+
+    target = (320, 320)
+    host, ratio, (dw, dh) = letterbox(im0, target, auto=False)
+    dev = np.asarray(
+        jax.jit(
+            lambda x: device_letterbox(x, im0.shape[:2], target),
+            static_argnums=(),
+        )(jnp.asarray(im0[None]))
+    )[0]
+
+    # geometry: the static helper reproduces the host's ratio/pad exactly
+    r, new_unpad_hw, _, (gdw, gdh) = letterbox_geometry(im0.shape[:2], target)
+    assert ratio == (r, r)
+    assert (gdw, gdh) == (dw, dh)
+    assert dev.shape == host.shape
+
+    # pad regions are exactly 114 in both
+    top = int(round(dh - 0.1))
+    if top > 0:
+        assert (dev[:top] == 114.0).all() and (host[:top] == 114).all()
+
+    # content: bilinear half-pixel sampling matches cv2.INTER_LINEAR to
+    # uint8 rounding (cv2 rounds each output pixel; jax keeps float)
+    diff = np.abs(dev.astype(np.float32) - host.astype(np.float32))
+    assert diff.max() <= 2.0, diff.max()
+    assert diff.mean() < 0.5, diff.mean()
+
+
+def test_export_raw_frame_variant_matches_host_pipeline(tmp_path):
+    """VERDICT r3 task 9: the raw-frame export (in-graph letterbox +
+    raw-coordinate outputs) must reproduce host-letterbox -> standard
+    artifact -> scale_coords. Pad-only geometry (no resize) keeps the two
+    pipelines bit-comparable, isolating the in-graph pad + de-letterbox."""
+    from ayolov2_tpu.data.datasets import letterbox
+    from ayolov2_tpu.utils.boxes import scale_coords
+
+    variables = _vars()
+    raw_hw, target = (48, 64), (64, 64)  # r=1: pure padding
+    rng = np.random.default_rng(7)
+    im0 = rng.integers(0, 255, (*raw_hw, 3), np.uint8)
+
+    paths_raw = export_serving(
+        MODEL_CFG, variables, str(tmp_path / "rawframe"), batch_size=1,
+        img_size=target, nc=20, keep_top_k=10, top_k=32, half=False,
+        raw_hw=raw_hw,
+    )
+    sidecar = yaml.safe_load(open(paths_raw["yaml"]))
+    assert sidecar["on_device_letterbox"] is True
+    assert sidecar["input"]["shape"] == [1, 48, 64, 3]
+
+    det_raw, n_raw = load_exported(paths_raw["jaxexp"])(im0[None])
+    det_raw, n_raw = np.asarray(det_raw), int(np.asarray(n_raw)[0])
+
+    # host pipeline: letterbox -> standard artifact -> scale_coords
+    paths_std = export_serving(
+        MODEL_CFG, variables, str(tmp_path / "std"), batch_size=1,
+        img_size=target, nc=20, keep_top_k=10, top_k=32, half=False,
+    )
+    lb, ratio, pad = letterbox(im0, target, auto=False)
+    det_std, n_std = load_exported(paths_std["jaxexp"])(lb[None])
+    det_std, n_std = np.asarray(det_std).copy(), int(np.asarray(n_std)[0])
+    det_std[0, :, :4] = np.asarray(
+        scale_coords(target, jnp.asarray(det_std[0, :, :4]), raw_hw,
+                     ratio_pad=(ratio, pad))
+    )
+
+    assert n_raw == n_std
+    np.testing.assert_allclose(det_raw[0, :n_raw], det_std[0, :n_std],
+                               atol=1e-3, rtol=1e-4)
