@@ -251,7 +251,10 @@ def main() -> int:
         try:
             stepd = jax.jit(make_train_step(model, loss_fn, tx, image_dtype=jnp.bfloat16),
                             donate_argnums=(0,))
-            st = jax.device_put(create_train_state(variables, tx))
+            # deep-copy every leaf: a fresh train state aliases params /
+            # ema_params buffers and donating aliased buffers is an error
+            # ("donate the same buffer twice") on every backend
+            st = jax.tree_util.tree_map(jnp.array, create_train_state(variables, tx))
             st, _ = stepd(st, images, targets, mask)
             bd = {"s": st}
 

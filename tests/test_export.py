@@ -180,3 +180,35 @@ def test_export_raw_frame_variant_matches_host_pipeline(tmp_path):
     assert n_raw == n_std
     np.testing.assert_allclose(det_raw[0, :n_raw], det_std[0, :n_std],
                                atol=1e-3, rtol=1e-4)
+
+
+def test_export_half_bakes_bf16_weights(tmp_path):
+    """half=True bakes bf16 weight constants — bit-identical outputs (the
+    apply path casts f32 params to bf16 anyway, layers.py:133,139,159) at
+    roughly half the artifact size of the f32-constant export."""
+    variables = _vars()
+    p16 = export_serving(
+        MODEL_CFG, variables, str(tmp_path / "h"), batch_size=1,
+        img_size=(64, 64), nc=20, keep_top_k=10, top_k=32, half=True,
+    )
+    p32 = export_serving(
+        MODEL_CFG, variables, str(tmp_path / "f"), batch_size=1,
+        img_size=(64, 64), nc=20, keep_top_k=10, top_k=32, half=False,
+    )
+    from pathlib import Path as _P
+
+    s16, s32 = _P(p16["stablehlo"]).stat().st_size, _P(p32["stablehlo"]).stat().st_size
+    assert s16 < 0.6 * s32, (s16, s32)
+
+    # live bf16 jit with f32 params == the baked-bf16 artifact, bit for bit
+    x = np.random.default_rng(1).integers(0, 255, (1, 64, 64, 3), np.uint8)
+    det_exp, n_exp = load_exported(p16["jaxexp"])(x)
+
+    model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True, nc=20)
+    fused = fuse_params(variables)
+    serve = make_serving_fn(model, fused, keep_top_k=10, top_k=32,
+                            image_dtype=jnp.bfloat16, fused_decode=True,
+                            img_hw=(64, 64))
+    det_live, n_live = jax.jit(serve)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(det_exp), np.asarray(det_live))
+    np.testing.assert_array_equal(np.asarray(n_exp), np.asarray(n_live))
