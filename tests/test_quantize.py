@@ -154,6 +154,21 @@ def test_export_int8_roundtrip(tiny_fused, tmp_path):
 
     assert yaml.safe_load(open(paths["yaml"]))["quant"] is True
 
+    # deployment-size claim (STATUS "int8 PTQ"): the s8 weight constants
+    # shrink the artifact vs the same model's float export (full-scale
+    # yolov5s measures 3.83x vs fp32 / 1.93x vs baked-bf16 —
+    # runs/bench_matrix/artifact_sizes.json); the tiny fixture model has a
+    # bigger non-weight module fraction, so bound loosely here
+    from pathlib import Path as _P
+
+    pf = export_serving(
+        cfg, fused, str(tmp_path / "f"), batch_size=2, img_size=(64, 64), nc=20,
+        keep_top_k=10, top_k=32, half=False,
+    )
+    s_q = _P(paths["stablehlo"]).stat().st_size
+    s_f = _P(pf["stablehlo"]).stat().st_size
+    assert s_q < 0.7 * s_f, (s_q, s_f)
+
 
 def test_decomposed_convs_stay_float(tiny_fused):
     """Tucker-decomposed stacks are excluded from the int8 path (layers.

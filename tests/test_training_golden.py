@@ -42,10 +42,14 @@ pytestmark = pytest.mark.skipif(
 
 # Memorization gate (VERDICT r2 task 3a): train on the 99 fixture images
 # with augmentation OFF and evaluate ON THE TRAINING IMAGES — a correct
-# YOLOv5 stack memorizes a 99-image set. Floor calibrated from the recorded
-# runs/golden_r3_mem run: mAP50 0.50 at epoch 300 (still climbing; see
-# STATUS.md "Memorization golden"). 0.35 = 70% of the ep300 recorded value.
-MEMORIZE_MAP50_FLOOR = 0.35
+# YOLOv5 stack memorizes a 99-image set. Floor calibrated from the COMPLETED
+# 1500-epoch run (runs/golden_r4_mem): in-training (rect-val) mAP50 0.500 at
+# epoch 300, plateau 0.663 at ep1500 under the rect-val protocol — and
+# 0.995 when the final ckpt is validated on the SAME square-letterbox inputs
+# it trained on (see test_memorization_capacity_square_val below; the
+# rect-val plateau measures letterbox-shift robustness of an aug-free
+# overfit model, not capacity). 0.40 = 80% of the recorded ep300 value.
+MEMORIZE_MAP50_FLOOR = 0.40
 MEMORIZE_GATE_EPOCHS = 300
 
 
