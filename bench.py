@@ -31,7 +31,13 @@ import time
 
 A100_TRT_YOLOV5S_IMG_PER_SEC = 1000.0  # documented estimate, see module docstring
 
-BATCH = 32
+# bs128 is the best measured operating point for images/sec/chip (the
+# north-star metric): the round-4 sweep (runs/bench_matrix/matrix_r4.json)
+# measured 2235 / 2541 / 3286 img/s at bs 32 / 64 / 128 with the approx
+# prefilter — decode/NMS and dispatch overhead amortize with batch. The
+# reference's bs32 TRT-harness operating point stays recorded in
+# cli/bench_matrix.py; override here with AYOLO_BENCH_BATCH=32 to compare.
+BATCH = int(os.environ.get("AYOLO_BENCH_BATCH", 128))
 SIZE = 640
 WARMUP = 3
 ITERS = 20

@@ -65,6 +65,8 @@ def main() -> int:
                    default=["serve", "tta", "decomposed", "train", "latency"],
                    choices=["serve", "int8", "tta", "decomposed", "train", "latency", "sweep"])
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--sweep-batch-sizes", type=int, nargs="+", default=[32, 64, 128],
+                   help="batch sizes for the serve operating-point sweep")
     p.add_argument("--out", type=str, default="",
                    help="also write every row to this JSON file (committed "
                         "evidence artifact, runs/bench_matrix/*.json)")
@@ -130,7 +132,7 @@ def main() -> int:
         for prefilter in ("exact", "approx"):
             serve_fn = serving_fn(model, fused_vars,
                                   approx_prefilter=(prefilter == "approx"))
-            for bs in (32, 64, 128):
+            for bs in args.sweep_batch_sizes:
                 imgs_b = jnp.asarray(
                     rng.integers(0, 255, (bs, SIZE, SIZE, 3), dtype=np.uint8))
                 t = _hard_time(lambda: serve_fn(imgs_b), sync_det, args.iters)
