@@ -64,6 +64,11 @@ def main() -> int:
     p.add_argument("--configs", nargs="+",
                    default=["serve", "tta", "decomposed", "train", "latency"],
                    choices=["serve", "int8", "tta", "decomposed", "train", "latency", "sweep"])
+    p.add_argument("--model-cfg", type=str, default=MODEL_CFG,
+                   help="model YAML for every config (family sweeps: "
+                        "yolov5m/l/x — weights are passed as a traced jit "
+                        "argument so large models stay under the remote "
+                        "compiler's payload limit)")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--sweep-batch-sizes", type=int, nargs="+", default=[32, 64, 128],
                    help="batch sizes for the serve operating-point sweep")
@@ -83,7 +88,9 @@ def main() -> int:
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
 
-    unfused = build_model(MODEL_CFG, dtype=jnp.bfloat16)
+    model_cfg = args.model_cfg
+    name = Path(model_cfg).stem
+    unfused = build_model(model_cfg, dtype=jnp.bfloat16)
     variables = init_model(unfused, jax.random.PRNGKey(0), img_size=SIZE)
     fused_vars = fuse_params(variables)
     nms_kw = dict(conf_thres=0.001, iou_thres=0.65, nms_box=512, pre_top_k=512,
@@ -98,19 +105,19 @@ def main() -> int:
         kw = {**nms_kw, **nms_overrides}
 
         @jax.jit
-        def serve(images):
+        def serve_traced(v, images):
             imgs = images.astype(jnp.bfloat16) / 255.0
-            raw = model.apply(fvars, imgs, training=True)
+            raw = model.apply(v, imgs, training=True)
             return fused_decode_nms(flatten_raw_maps(raw), grid_xy, anchor_wh, stride, **kw)
 
-        return serve
+        return lambda images: serve_traced(fvars, images)
 
     sync_det = lambda r: float(jnp.sum(r[0]))
 
     if "serve" in args.configs:
-        model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+        model = build_model(model_cfg, dtype=jnp.bfloat16, fused=True)
         serve = serving_fn(model, fused_vars)
-        _emit("yolov5s_640_bs32_serve", _hard_time(lambda: serve(images), sync_det, args.iters))
+        _emit(f"{name}_640_bs32_serve", _hard_time(lambda: serve(images), sync_det, args.iters))
 
     if "int8" in args.configs:
         # int8 PTQ serving path (compress/quantize): s8 x s8 -> s32 convs,
@@ -119,16 +126,16 @@ def main() -> int:
         from ayolov2_tpu.compress.quantize import quantize_model
 
         calib = [images.astype(jnp.bfloat16) / 255.0]
-        qmodel, qvars = quantize_model(MODEL_CFG, fused_vars, calib, dtype=jnp.bfloat16)
+        qmodel, qvars = quantize_model(model_cfg, fused_vars, calib, dtype=jnp.bfloat16)
         serve_q = serving_fn(qmodel, qvars)
-        _emit("yolov5s_640_bs32_serve_int8", _hard_time(lambda: serve_q(images), sync_det, args.iters))
+        _emit(f"{name}_640_bs32_serve_int8", _hard_time(lambda: serve_q(images), sync_det, args.iters))
 
     if "sweep" in args.configs:
         # VERDICT r3 task 3: serve operating-point sweep — the north-star
         # metric is images/sec/chip, not images/sec-at-bs32; decode/NMS and
         # per-dispatch overhead amortize with batch. bs32 stays the
         # reference-harness parity row (torchscript_runner/main.cpp:29-48).
-        model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+        model = build_model(model_cfg, dtype=jnp.bfloat16, fused=True)
         for prefilter in ("exact", "approx"):
             serve_fn = serving_fn(model, fused_vars,
                                   approx_prefilter=(prefilter == "approx"))
@@ -136,7 +143,7 @@ def main() -> int:
                 imgs_b = jnp.asarray(
                     rng.integers(0, 255, (bs, SIZE, SIZE, 3), dtype=np.uint8))
                 t = _hard_time(lambda: serve_fn(imgs_b), sync_det, args.iters)
-                _emit(f"yolov5s_640_bs{bs}_serve_{prefilter}", t, batch=bs,
+                _emit(f"{name}_640_bs{bs}_serve_{prefilter}", t, batch=bs,
                       batch_size=bs, prefilter=prefilter)
 
     if "latency" in args.configs:
@@ -144,7 +151,7 @@ def main() -> int:
         # individually hard-synced; the pure tunnel/sync round-trip (timed
         # on a 1-element read) is reported alongside so the device-side p50
         # can be separated from transport.
-        model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+        model = build_model(model_cfg, dtype=jnp.bfloat16, fused=True)
         serve1 = serving_fn(model, fused_vars)
         img1 = images[:1]
         one = jnp.zeros((1,), jnp.float32)
@@ -160,30 +167,34 @@ def main() -> int:
             rtts.append(time.perf_counter() - t0)
         p50 = float(np.median(samples))
         rtt = float(np.median(rtts))
-        print(json.dumps({
-            "metric": "yolov5s_640_bs1_p50_latency_ms",
+        row = {
+            "metric": f"{name}_640_bs1_p50_latency_ms",
             "value": round(p50 * 1e3, 2),
             "unit": "ms",
             "sync_rtt_ms": round(rtt * 1e3, 2),
             "p50_minus_rtt_ms": round((p50 - rtt) * 1e3, 2),
-        }), flush=True)
+        }
+        ROWS.append(row)
+        print(json.dumps(row), flush=True)
 
     if "tta" in args.configs:
         from ayolov2_tpu.ops.tta import inference_with_tta
 
-        model = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True)
+        model = build_model(model_cfg, dtype=jnp.bfloat16, fused=True)
 
         @jax.jit
-        def tta(images):
+        def tta_traced(v, images):
             imgs = images.astype(jnp.bfloat16) / 255.0
 
             def fwd(x):
-                dec, _ = model.apply(fused_vars, x, training=False)
+                dec, _ = model.apply(v, x, training=False)
                 return dec
 
             return inference_with_tta(fwd, imgs, nl=len(model.strides), gs=int(max(model.stride)))
 
-        _emit("yolov5s_640_bs32_tta_serve",
+        tta = lambda images: tta_traced(fused_vars, images)
+
+        _emit(f"{name}_640_bs32_tta_serve",
               _hard_time(lambda: tta(images), lambda r: float(jnp.sum(r)), args.iters))
 
     if "decomposed" in args.configs:
@@ -192,11 +203,11 @@ def main() -> int:
         dmap, dparams, _ = decompose_model(
             {"params": variables["params"]}["params"], loss_thr=0.1, n_test=64,
         )
-        dmodel = build_model(MODEL_CFG, dtype=jnp.bfloat16, fused=True,
+        dmodel = build_model(model_cfg, dtype=jnp.bfloat16, fused=True,
                              decompose_map=tuple((k, tuple(v)) for k, v in dmap.items()))
         dfused = fuse_params({"params": dparams, "batch_stats": variables.get("batch_stats", {})})
         serve_d = serving_fn(dmodel, dfused)
-        _emit("yolov5s_640_bs32_decomposed_serve",
+        _emit(f"{name}_640_bs32_decomposed_serve",
               _hard_time(lambda: serve_d(images), sync_det, args.iters))
 
     if "train" in args.configs:
@@ -204,7 +215,7 @@ def main() -> int:
         from ayolov2_tpu.train.optimizer import build_optimizer
         from ayolov2_tpu.train.train_state import create_train_state, make_train_step
 
-        model = build_model(MODEL_CFG, dtype=jnp.bfloat16)
+        model = build_model(model_cfg, dtype=jnp.bfloat16)
         hyp = {"optimizer_params": {"lr": 0.01}, "box": 0.05, "cls": 0.5, "obj": 1.0,
                "cls_pw": 1.0, "obj_pw": 1.0, "anchor_t": 4.0, "fl_gamma": 0.0,
                "label_smoothing": 0.0, "weight_decay": 5e-4, "lrf": 0.1,
@@ -228,7 +239,7 @@ def main() -> int:
             box["state"], items = step(box["state"], images, targets, mask)
             return items
 
-        _emit("yolov5s_640_bs32_train_step",
+        _emit(f"{name}_640_bs32_train_step",
               _hard_time(run_step, lambda r: float(jnp.sum(r)), args.iters))
 
     if args.out:
