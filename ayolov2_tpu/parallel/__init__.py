@@ -17,11 +17,13 @@ from ayolov2_tpu.parallel.mesh import (
     make_global_batch,
     replicate,
     shard_batch,
+    zero_sharding,
 )
 from ayolov2_tpu.parallel.serve import make_sharded_serving_fn
 
 __all__ = [
     "make_sharded_serving_fn",
+    "zero_sharding",
     "get_mesh",
     "batch_sharding",
     "replicate",

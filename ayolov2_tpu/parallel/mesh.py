@@ -115,6 +115,41 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def zero_sharding(mesh: Mesh, tree: Any, axis: str = "data", min_elems: int = 65536) -> Any:
+    """ZeRO-style sharding-spec tree for a train state (beyond-reference).
+
+    The reference replicates model + optimizer state on every GPU (plain DDP,
+    train_model_builder.py:93-114); on a TPU mesh the same memory instead
+    amortizes across chips: every leaf with >= ``min_elems`` elements is
+    sharded over ``axis`` along its largest evenly-divisible dim, everything
+    else (biases, BN vectors, scalars) stays replicated. Handing the result
+    to ``jit`` as the state's in/out sharding makes XLA's SPMD partitioner
+    all-gather weights at their use sites and keep the optimizer/EMA update
+    fully sharded — the ZeRO-3 recipe, expressed as layout annotations
+    instead of hand-written collectives. Per-chip state memory drops ~N-fold
+    for the large conv kernels (params + momentum + EMA), buying batch/remat
+    headroom for yolov5x-scale training.
+
+    Returns a pytree of NamedSharding congruent with ``tree``.
+    """
+    n = int(mesh.shape[axis])
+    rep = NamedSharding(mesh, P())
+
+    def spec(x):
+        shape = tuple(getattr(x, "shape", ()) or ())
+        if n <= 1 or not shape or int(np.prod(shape)) < min_elems:
+            return rep
+        cands = [d for d, s in enumerate(shape) if s % n == 0 and s >= n]
+        if not cands:
+            return rep
+        d = max(cands, key=lambda i: shape[i])
+        parts: list = [None] * len(shape)
+        parts[d] = axis
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
     """device_put a host batch with dim-0 sharded across the mesh."""
 

@@ -41,6 +41,7 @@ from ayolov2_tpu.parallel import (
     is_main_process,
     make_global_batch,
     replicate,
+    zero_sharding,
 )
 from ayolov2_tpu.train.optimizer import NBS_NOMINAL, build_optimizer
 from ayolov2_tpu.train.train_state import EMA, TrainState, create_train_state
@@ -133,9 +134,14 @@ class SoftTeacherTrainer(AbstractTrainer):
         # --- mesh-sharded jitted KD step (DDP analogue, like YoloTrainer) ---
         devices = jax.devices()[: n_devices or len(jax.devices())]
         self.mesh = get_mesh(devices)
-        self.state: TrainState = jax.device_put(
-            create_train_state(student_variables, self.tx), replicate(self.mesh)
-        )
+        state = create_train_state(student_variables, self.tx)
+        # ZeRO-style student-state sharding (train.fsdp) — same lever as
+        # YoloTrainer; the frozen teacher stays replicated (inference-only)
+        if bool(tcfg.get("fsdp", False)) and int(self.mesh.shape["data"]) > 1:
+            self._state_sharding = zero_sharding(self.mesh, state)
+        else:
+            self._state_sharding = replicate(self.mesh)
+        self.state: TrainState = jax.device_put(state, self._state_sharding)
         image_dtype = jnp.bfloat16 if tcfg.get("half", True) else jnp.float32
         self._image_dtype = image_dtype
         rep, bsh = replicate(self.mesh), batch_sharding(self.mesh, 4)
@@ -144,8 +150,8 @@ class SoftTeacherTrainer(AbstractTrainer):
         msh = batch_sharding(self.mesh, 1) if multi else rep
         self._student_step = jax.jit(
             self._make_step(image_dtype),
-            in_shardings=(rep, bsh, tsh, msh, bsh, tsh, msh),
-            out_shardings=(rep, rep, rep),
+            in_shardings=(self._state_sharding, bsh, tsh, msh, bsh, tsh, msh),
+            out_shardings=(self._state_sharding, rep, rep),
         )
 
         self.strong_aug = (
@@ -303,7 +309,11 @@ class SoftTeacherTrainer(AbstractTrainer):
             self._save_weights("last.ckpt")
 
     def _save_weights(self, name: str, map50: Optional[float] = None) -> None:
+        state = self.state
+        if bool(self.tcfg.get("fsdp", False)):
+            # gather ZeRO-sharded leaves so the file stays layout-independent
+            state = jax.device_put(state, replicate(self.mesh))
         save_checkpoint(
-            self.wdir / name, self.state, epoch=self.current_epoch,
+            self.wdir / name, state, epoch=self.current_epoch,
             best_score=self.best_score, map50=map50, model_cfg=self.model_cfg_dict,
         )

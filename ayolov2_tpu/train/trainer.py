@@ -43,6 +43,7 @@ from ayolov2_tpu.parallel import (
     is_main_process,
     make_global_batch,
     replicate,
+    zero_sharding,
 )
 from ayolov2_tpu.train.optimizer import NBS_NOMINAL, build_optimizer
 from ayolov2_tpu.train.train_state import TrainState, create_train_state, make_train_step
@@ -207,9 +208,16 @@ class YoloTrainer(AbstractTrainer):
         # --- mesh + jitted step ---
         devices = jax.devices()[: n_devices or len(jax.devices())]
         self.mesh = get_mesh(devices)
-        self.state: TrainState = jax.device_put(
-            create_train_state(variables, self.tx), replicate(self.mesh)
-        )
+        state = create_train_state(variables, self.tx)
+        # ZeRO-style state sharding (train.fsdp, beyond-reference): large
+        # param/opt/EMA leaves sharded over the data axis instead of
+        # replicated; XLA all-gathers weights at use sites and keeps the
+        # optimizer/EMA update sharded (parallel/mesh.zero_sharding)
+        if bool(tcfg.get("fsdp", False)) and int(self.mesh.shape["data"]) > 1:
+            self._state_sharding = zero_sharding(self.mesh, state)
+        else:
+            self._state_sharding = replicate(self.mesh)
+        self.state: TrainState = jax.device_put(state, self._state_sharding)
         self._train_step = self._make_jit_step()
 
         # epoch accumulators
@@ -237,12 +245,12 @@ class YoloTrainer(AbstractTrainer):
         return jax.jit(
             make_train_step(self.model, self.compute_loss, self.tx, image_dtype=image_dtype),
             in_shardings=(
-                rep,
+                self._state_sharding,
                 batch_sharding(self.mesh, 4),
                 batch_sharding(self.mesh, 2) if multi else rep,
                 batch_sharding(self.mesh, 1) if multi else rep,
             ),
-            out_shardings=(rep, rep),
+            out_shardings=(self._state_sharding, rep),
             # donating state buffers deadlocks XLA:CPU collectives (virtual
             # test meshes) and errors on tunneled TPU backends — opt in via
             # train.donate_state on directly-attached hardware for HBM reuse
@@ -262,7 +270,7 @@ class YoloTrainer(AbstractTrainer):
         epoch-stamped backup (model_manager.py:108-177 copytree semantics).
         """
         self.state, meta = restore_train_state(ckpt_path, self.state)
-        self.state = jax.device_put(self.state, replicate(self.mesh))
+        self.state = jax.device_put(self.state, self._state_sharding)
         self.start_epoch = int(meta["epoch"]) + 1
         self.best_score = float(meta["best_score"])
         prev_dir = Path(ckpt_path).parent
@@ -456,9 +464,14 @@ class YoloTrainer(AbstractTrainer):
             self.is_early_stop = True
 
     def _save_weights(self, epoch: int, name: str, map50: Optional[float] = None) -> None:
+        state = self.state
+        if bool(self.tcfg.get("fsdp", False)):
+            # gather the ZeRO-sharded leaves once per checkpoint so the
+            # msgpack file stays layout-independent (loads anywhere)
+            state = jax.device_put(state, replicate(self.mesh))
         save_checkpoint(
             self.wdir / name,
-            self.state,
+            state,
             epoch=epoch,
             best_score=self.best_score,
             map50=map50,

@@ -72,6 +72,10 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--sweep-batch-sizes", type=int, nargs="+", default=[32, 64, 128],
                    help="batch sizes for the serve operating-point sweep")
+    p.add_argument("--sweep-prefilters", nargs="+", default=["exact", "approx"],
+                   choices=["exact", "approx"],
+                   help="objectness-prefilter variants to sweep (restricting "
+                        "to one halves the number of tunnel compiles)")
     p.add_argument("--out", type=str, default="",
                    help="also write every row to this JSON file (committed "
                         "evidence artifact, runs/bench_matrix/*.json)")
@@ -136,7 +140,7 @@ def main() -> int:
         # per-dispatch overhead amortize with batch. bs32 stays the
         # reference-harness parity row (torchscript_runner/main.cpp:29-48).
         model = build_model(model_cfg, dtype=jnp.bfloat16, fused=True)
-        for prefilter in ("exact", "approx"):
+        for prefilter in args.sweep_prefilters:
             serve_fn = serving_fn(model, fused_vars,
                                   approx_prefilter=(prefilter == "approx"))
             for bs in args.sweep_batch_sizes:

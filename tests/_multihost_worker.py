@@ -66,7 +66,13 @@ def main() -> None:
     from ayolov2_tpu.data.loader import DataLoader
     from ayolov2_tpu.loss import ComputeLoss
     from ayolov2_tpu.models import build_model
-    from ayolov2_tpu.parallel import batch_sharding, get_mesh, make_global_batch, replicate
+    from ayolov2_tpu.parallel import (
+        batch_sharding,
+        get_mesh,
+        make_global_batch,
+        replicate,
+        zero_sharding,
+    )
     from ayolov2_tpu.train.optimizer import build_optimizer
     from ayolov2_tpu.train.train_state import create_train_state, make_train_step
     from tests.test_train_step import HYP, TINY_CFG
@@ -79,19 +85,27 @@ def main() -> None:
         variables["params"], {"optimizer_params": {"lr": 0.01}, **HYP, "weight_decay": 5e-4},
         epochs=3, steps_per_epoch=10, batch_size=8,
     )
-    state = jax.device_put(create_train_state(variables, tx), replicate(mesh))
+    # AYOLO_MH_FSDP=1: ZeRO-sharded state (parallel.zero_sharding) — large
+    # leaves live split across the CLUSTER (each process holds only its
+    # addressable shards), XLA all-gathers at use sites
+    fsdp = os.environ.get("AYOLO_MH_FSDP") == "1"
+    host_state = create_train_state(variables, tx)
+    state_sharding = (
+        zero_sharding(mesh, host_state, min_elems=2048) if fsdp else replicate(mesh)
+    )
+    state = jax.device_put(host_state, state_sharding)
 
     multi = n_procs > 1
     rep = replicate(mesh)
     step = jax.jit(
         make_train_step(model, loss_fn, tx, image_dtype=jnp.float32),
         in_shardings=(
-            rep,
+            state_sharding,
             batch_sharding(mesh, 4),
             batch_sharding(mesh, 2) if multi else rep,
             batch_sharding(mesh, 1) if multi else rep,
         ),
-        out_shardings=(rep, rep),
+        out_shardings=(state_sharding, rep),
     )
 
     loader = DataLoader(ToyDataset(n_items), batch_size=global_bs, shuffle=False,
@@ -100,7 +114,7 @@ def main() -> None:
     n_batches = 0
     for batch in loader:
         images, targets, mask = make_global_batch(mesh, batch.images, batch.targets, batch.target_mask)
-        _, items = step(state, jnp.asarray(images), jnp.asarray(targets), jnp.asarray(mask))
+        state, items = step(state, jnp.asarray(images), jnp.asarray(targets), jnp.asarray(mask))
         print("ITEMS", [float(v) for v in np.asarray(items)], flush=True)
         n_batches += 1
     print("N_BATCHES", n_batches, flush=True)

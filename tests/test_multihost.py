@@ -27,13 +27,17 @@ def _free_port() -> int:
     return port
 
 
-def _run_cluster(n_procs: int, timeout: int = 300, n_items: int = 8, global_bs: int = 8):
+def _run_cluster(n_procs: int, timeout: int = 300, n_items: int = 8, global_bs: int = 8,
+                 env: dict | None = None):
+    import os
+
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(pid), str(n_procs), str(port),
              str(n_items), str(global_bs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, cwd=str(REPO),
+            env={**os.environ, **(env or {})},
         )
         for pid in range(n_procs)
     ]
