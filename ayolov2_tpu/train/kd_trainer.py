@@ -38,6 +38,7 @@ from ayolov2_tpu.ops.nms import batched_nms, detections_to_list
 from ayolov2_tpu.parallel import (
     batch_sharding,
     get_mesh,
+    host_broadcast_max,
     is_main_process,
     make_global_batch,
     replicate,
@@ -274,7 +275,18 @@ class SoftTeacherTrainer(AbstractTrainer):
             )
         return {}
 
+    def on_preempt(self) -> None:
+        # mid-epoch SIGTERM (single-process path): persist the student state
+        if is_main_process():
+            self._save_weights("last.ckpt")
+
     def validation(self) -> None:
+        if jax.process_count() > 1:
+            # KD has no early stopping upstream — preemption is the only
+            # stop source; fold it into an all-hosts max so every host
+            # leaves the collective epoch loop together
+            if host_broadcast_max(self.mesh, 1.0 if self.is_preempted else 0.0) > 0:
+                self.is_early_stop = True
         if not is_main_process():
             return  # host-0-only val/ckpt (kd_trainer.py rank gating)
         if self.val_loader is None:

@@ -167,6 +167,10 @@ class RepresentationLearningTrainer(AbstractTrainer):
                         self.current_epoch, batch_idx, self.rl_type, float(self.last_items[0]))
         return {}
 
+    def on_preempt(self) -> None:
+        # mid-epoch SIGTERM: persist the encoder state before exiting
+        self._save("last.ckpt")
+
     def validation(self) -> None:
         if self.val_loader is None:
             self._save("last.ckpt")

@@ -91,13 +91,28 @@ def scale_hyp_gains(hyp: Dict[str, Any], nl: int, nc: int, img_size: int) -> Dic
 
 
 class AbstractTrainer:
-    """Epoch/step lifecycle (abstract_trainer.py:33-261)."""
+    """Epoch/step lifecycle (abstract_trainer.py:33-261).
+
+    Beyond-reference: graceful preemption. While ``train()`` runs, SIGTERM
+    (the standard cloud/TPU-pod preemption notice; none of this exists
+    upstream — SURVEY §5 "no elastic training") sets a flag; the loop then
+    checkpoints via the ``on_preempt`` hook and returns cleanly instead of
+    dying mid-step. Single-process runs stop at the next batch boundary;
+    multi-process runs fold the flag into the existing epoch-end stop
+    consensus (``host_broadcast_max``) so every host leaves the collective
+    program together even when only one host received the signal.
+    """
+
+    #: signals that trigger a graceful checkpoint-and-stop; subclasses may
+    #: override (empty disables the handlers entirely)
+    preempt_signals: tuple = ("SIGTERM",)
 
     def __init__(self, epochs: int, start_epoch: int = 0) -> None:
         self.epochs = epochs
         self.start_epoch = start_epoch
         self.current_epoch = start_epoch
         self.is_early_stop = False
+        self.is_preempted = False
         self.state_dict: Dict[str, Any] = {}
 
     # hooks ---------------------------------------------------------------
@@ -108,21 +123,73 @@ class AbstractTrainer:
     def on_epoch_end(self, epoch: int) -> None: ...
     def validation(self) -> None: ...
     def on_train_end(self) -> None: ...
+    def on_preempt(self) -> None: ...
     def epoch_iterator(self):
         raise NotImplementedError
 
     def log_dict(self, metrics: Dict[str, Any]) -> None:
         self.state_dict.update(metrics)
 
+    # preemption ------------------------------------------------------------
+    def _install_preempt_handlers(self):
+        """Install signal handlers for the duration of train(); returns a
+        restore() callback. No-op outside the main thread (signal.signal
+        raises there) and for unknown signal names."""
+        import signal
+
+        prev = {}
+
+        def _handler(signum, frame):  # noqa: ARG001
+            LOGGER.warning(
+                "received %s — checkpointing and stopping at the next batch boundary",
+                signal.Signals(signum).name,
+            )
+            self.is_preempted = True
+
+        for name in self.preempt_signals:
+            sig = getattr(signal, name, None)
+            if sig is None:
+                continue
+            try:
+                prev[sig] = signal.signal(sig, _handler)
+            except ValueError:  # not in the main thread
+                LOGGER.warning("cannot install %s handler outside the main thread", name)
+
+        def _restore() -> None:
+            for sig, h in prev.items():
+                try:
+                    signal.signal(sig, h)
+                except ValueError:
+                    pass
+
+        return _restore
+
     # loop ------------------------------------------------------------------
     def train(self) -> None:
+        restore_signals = self._install_preempt_handlers()
+        try:
+            self._train_loop()
+        finally:
+            restore_signals()
+
+    def _train_loop(self) -> None:
+        # a lone host breaking out of the jitted collective step would
+        # deadlock the others — mid-epoch breaks are single-process only;
+        # multi-process preemption resolves at the validation consensus
+        single = jax.process_count() == 1
         self.on_train_start()
         for epoch in range(self.start_epoch, self.epochs):
             self.current_epoch = epoch
             self.on_epoch_start(epoch)
             for i, batch in enumerate(self.epoch_iterator()):
                 self.training_step(batch, i)
+                if self.is_preempted and single:
+                    break
             self.on_epoch_end(epoch)
+            if self.is_preempted and single:
+                self.on_preempt()
+                LOGGER.warning("preempted — stopped cleanly at epoch %d", epoch)
+                break
             self.validation()
             if self.is_early_stop:
                 LOGGER.info("Early stopping at epoch %d", epoch)
@@ -395,17 +462,28 @@ class YoloTrainer(AbstractTrainer):
             "epoch %3d done in %.1fs (%.1f img/s)", epoch, dt, n * self.batch_size / max(dt, 1e-9)
         )
 
+    def on_preempt(self) -> None:
+        # mid-epoch SIGTERM (single-process path): persist the live state
+        # before the process goes away; resume() then restarts at the next
+        # epoch (the reference's epoch-granularity resume semantics)
+        if is_main_process():
+            self._save_weights(self.current_epoch, "last.ckpt")
+
     def validation(self) -> None:
         # host-0-only val/ckpt (yolo_trainer.py:394 rank gating); the stop
         # decision is then all-reduced so every host leaves the epoch loop
-        # together (the reference's dist.broadcast analogue)
+        # together (the reference's dist.broadcast analogue). A preemption
+        # notice on ANY host rides the same max-consensus: every host stops
+        # at this epoch boundary and host 0 has just checkpointed.
         if jax.process_count() > 1:
             if not is_main_process():
-                if host_broadcast_max(self.mesh, 0.0) > 0:
+                if host_broadcast_max(self.mesh, 1.0 if self.is_preempted else 0.0) > 0:
                     self.is_early_stop = True
                 return
             self._validation_main()
-            host_broadcast_max(self.mesh, 1.0 if self.is_early_stop else 0.0)
+            stop = self.is_early_stop or self.is_preempted
+            if host_broadcast_max(self.mesh, 1.0 if stop else 0.0) > 0:
+                self.is_early_stop = True
             return
         self._validation_main()
 
