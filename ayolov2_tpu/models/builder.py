@@ -214,11 +214,25 @@ class YOLOModel(nn.Module):
     # activation memory, the standard XLA lever for bigger per-chip batches
     # / larger models (yolov5x@640). Training-path only; no effect on
     # inference. Enabled by the trainer via cfg train.remat.
-    remat: bool = False
+    #   False        — store everything (XLA default)
+    #   True         — full per-layer remat (max memory win, ~1 extra fwd)
+    #   "save_convs" — selective policy: conv (MXU) outputs are SAVED via
+    #                  checkpoint_name tags; only the cheap elementwise /
+    #                  normalization work (BN, SiLU, concat) is recomputed.
+    #                  TPU-native middle point: never re-pay matrix-unit
+    #                  FLOPs, still drops the between-conv activations.
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False, start_layer: int = 0):
-        with L.decompose_scope(dict(self.decompose_map)):
+        import contextlib
+
+        tag = (
+            L.remat_tag_scope()
+            if (self.remat == "save_convs" and training)
+            else contextlib.nullcontext()
+        )
+        with L.decompose_scope(dict(self.decompose_map)), tag:
             return self._forward(x, training, start_layer)
 
     def _forward(self, x: jax.Array, training: bool = False, start_layer: int = 0):
@@ -241,9 +255,17 @@ class YOLOModel(nn.Module):
         def _call_train(mod, z):
             return mod(z, True)
 
-        remat_call = (
-            nn.remat(_call_train) if (self.remat and training) else None
-        )
+        remat_call = None
+        if self.remat and training:
+            if self.remat == "save_convs":
+                from jax.ad_checkpoint import checkpoint_policies
+
+                remat_call = nn.remat(
+                    _call_train,
+                    policy=checkpoint_policies.save_only_these_names("conv_out"),
+                )
+            else:
+                remat_call = nn.remat(_call_train)
 
         def run(mod, z):
             return remat_call(mod, z) if remat_call is not None else mod(z, training)
@@ -313,7 +335,7 @@ def build_model(
     decompose_map: Any = (),
     s2d_stem: Any = False,
     quant: Any = False,
-    remat: bool = False,
+    remat: Any = False,
 ) -> YOLOModel:
     """Build a YOLOModel from a model YAML path or dict.
 

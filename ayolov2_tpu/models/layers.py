@@ -83,6 +83,33 @@ def active_decompose_map() -> dict:
     return getattr(_DECOMP, "map", {})
 
 
+class remat_tag_scope:
+    """Trace-scope that makes ConvBnAct tag its conv outputs for the
+    ``remat="save_convs"`` policy (builder.YOLOModel).
+
+    The tags (``jax.ad_checkpoint.checkpoint_name``) are trace-time
+    metadata consumed by ``save_only_these_names``; they are only inserted
+    inside this scope so every other path (serving, export, Pallas A/B)
+    traces byte-identical jaxprs to before."""
+
+    def __enter__(self):
+        self.prev = getattr(_DECOMP, "remat_tags", False)
+        _DECOMP.remat_tags = True
+        return self
+
+    def __exit__(self, *exc):
+        _DECOMP.remat_tags = self.prev
+        return False
+
+
+def _maybe_tag_conv_out(x: jax.Array) -> jax.Array:
+    if getattr(_DECOMP, "remat_tags", False):
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(x, "conv_out")
+    return x
+
+
 class _S2DConv(nn.Module):
     """The stem 6x6/s2/p2 conv computed as space-to-depth + 3x3/s1 VALID.
 
@@ -281,6 +308,7 @@ class ConvBnAct(nn.Module):
                 int(r_in), (1, 1), use_bias=False,
                 dtype=self.dtype, param_dtype=jnp.float32, name="conv_first",
             )(x)
+            x = _maybe_tag_conv_out(x)
             x = nn.Conv(
                 int(r_out),
                 (self.kernel_size, self.kernel_size),
@@ -291,10 +319,12 @@ class ConvBnAct(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv_core",
             )(x)
+            x = _maybe_tag_conv_out(x)
             x = nn.Conv(
                 self.features, (1, 1), use_bias=self.fuse,
                 dtype=self.dtype, param_dtype=jnp.float32, name="conv_last",
             )(x)
+            x = _maybe_tag_conv_out(x)
         else:
             if self.quant is True and _quantizable(x.shape[-1], self.groups, ranks, self.fuse):
                 x = _QuantConv(
@@ -337,6 +367,7 @@ class ConvBnAct(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv",
             )(x)
+            x = _maybe_tag_conv_out(x)
         if not self.fuse:
             x = nn.BatchNorm(
                 use_running_average=not training,

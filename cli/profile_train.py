@@ -230,21 +230,34 @@ def main() -> int:
             emit(metric=f"train_step_bs{b}", batch_size=b, error=repr(e)[:200])
 
     # --- remat cost at the breakdown batch size ---
+    # temp_size = XLA's compiled scratch (activations live here); the
+    # memory lever each remat mode actually buys, from the executable itself
+    def _temp_mb(step_fn, st):
+        try:
+            ma = step_fn.lower(st, images, targets, mask).compile().memory_analysis()
+            return round(ma.temp_size_in_bytes / 1e6, 1) or None
+        except Exception:
+            return None
+
     if not args.skip_remat:
-        mr, vr, lr, txr = build(remat=True)
-        str_ = create_train_state(vr, txr)
-        stepr = jax.jit(make_train_step(mr, lr, txr, image_dtype=jnp.bfloat16))
-        br = {"s": str_}
+        base_temp = _temp_mb(full_step, state)
+        for mode in (True, "save_convs"):
+            mr, vr, lr, txr = build(remat=mode)
+            str_ = create_train_state(vr, txr)
+            stepr = jax.jit(make_train_step(mr, lr, txr, image_dtype=jnp.bfloat16))
+            br = {"s": str_}
 
-        def runr():
-            br["s"], items = stepr(br["s"], images, targets, mask)
-            return items
+            def runr():
+                br["s"], items = stepr(br["s"], images, targets, mask)
+                return items
 
-        t_remat = _hard_time(runr, lambda r: float(jnp.sum(r)), args.iters)
-        emit(metric="train_step_remat", batch_size=bs,
-             ms_per_step=round(t_remat * 1e3, 2),
-             baseline_ms=round(t_full * 1e3, 2),
-             overhead_pct=round(100 * (t_remat - t_full) / t_full, 1))
+            t_remat = _hard_time(runr, lambda r: float(jnp.sum(r)), args.iters)
+            emit(metric="train_step_remat", remat_mode=str(mode), batch_size=bs,
+                 ms_per_step=round(t_remat * 1e3, 2),
+                 baseline_ms=round(t_full * 1e3, 2),
+                 overhead_pct=round(100 * (t_remat - t_full) / t_full, 1),
+                 temp_mb=_temp_mb(stepr, br["s"]),
+                 baseline_temp_mb=base_temp)
 
     # --- donation probe (expected InvalidArgument on the tunneled backend) ---
     if not args.skip_donate:

@@ -103,11 +103,13 @@ def main() -> None:
     else:
         model_cfg = parse_model_config(args.model)
     # train.remat: per-layer activation rematerialization (jax.checkpoint) —
-    # ~1 extra forward of FLOPs buys O(layer) live activation memory, for
-    # bigger per-chip batches / yolov5x-scale models (gradient parity is
-    # bit-exact, tests/test_models.py::test_remat_grad_parity)
+    # true = full remat (~1 extra forward of FLOPs buys O(layer) live
+    # activation memory); "save_convs" = selective policy (conv/MXU outputs
+    # saved, only elementwise/BN work recomputed). Gradient parity is
+    # bit-exact for both (tests/test_models.py::test_remat_grad_parity)
+    remat = tcfg.get("remat", False)
     model = build_model(model_cfg, dtype=jnp.bfloat16 if tcfg.get("half", True) else jnp.float32, nc=nc,
-                        remat=bool(tcfg.get("remat", False)))
+                        remat=remat if isinstance(remat, str) else bool(remat))
 
     stride = int(max(model.stride))
     img_size = check_img_size(int(tcfg["image_size"]), stride)

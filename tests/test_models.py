@@ -266,12 +266,15 @@ def test_s2d_slice_mode_guarded_on_tpu(monkeypatch):
         model.init(jax.random.PRNGKey(0), x, training=False)
 
 
-def test_remat_grad_parity(small_model):
+@pytest.mark.parametrize("remat", [True, "save_convs"])
+def test_remat_grad_parity(small_model, remat):
     """train.remat (per-layer jax.checkpoint) is bit-exact vs the plain
     graph: same loss, same grads, same BatchNorm stat updates — only the
-    backward-pass memory/FLOPs trade changes."""
+    backward-pass memory/FLOPs trade changes. Covers full remat AND the
+    selective "save_convs" policy (conv outputs saved via checkpoint_name,
+    only elementwise/BN recomputed)."""
     cfg, m0, v = small_model
-    m1 = build_model(cfg, remat=True)
+    m1 = build_model(cfg, remat=remat)
     x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3), np.float32))
 
     def loss(model):
