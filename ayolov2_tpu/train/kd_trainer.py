@@ -108,6 +108,13 @@ class SoftTeacherTrainer(AbstractTrainer):
         self.max_labels = getattr(labeled_loader, "max_labels", 64)
         self.best_score = 0.0
 
+        # opt-in async checkpointing (train.async_ckpt, same as YoloTrainer)
+        self._ckpt_writer = None
+        if bool(tcfg.get("async_ckpt", False)):
+            from ayolov2_tpu.utils.checkpoint import AsyncCheckpointWriter
+
+            self._ckpt_writer = AsyncCheckpointWriter()
+
         hyp = dict(cfg["hyper_params"])
         hyp["label_smoothing"] = float(tcfg.get("label_smoothing", 0.0))
         self.hyp = scale_hyp_gains(hyp, student.nl, student.nc, int(tcfg["image_size"]))
@@ -319,13 +326,23 @@ class SoftTeacherTrainer(AbstractTrainer):
             self._pseudo_q.get_nowait()
         if is_main_process():
             self._save_weights("last.ckpt")
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()
 
     def _save_weights(self, name: str, map50: Optional[float] = None) -> None:
         state = self.state
         if bool(self.tcfg.get("fsdp", False)):
             # gather ZeRO-sharded leaves so the file stays layout-independent
             state = jax.device_put(state, replicate(self.mesh))
-        save_checkpoint(
-            self.wdir / name, state, epoch=self.current_epoch,
-            best_score=self.best_score, map50=map50, model_cfg=self.model_cfg_dict,
-        )
+        epoch, best_score, model_cfg = self.current_epoch, self.best_score, self.model_cfg_dict
+
+        def _write(path=self.wdir / name, state=state):
+            save_checkpoint(
+                path, state, epoch=epoch, best_score=best_score,
+                map50=map50, model_cfg=model_cfg,
+            )
+
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.submit(_write)
+        else:
+            _write()

@@ -292,6 +292,23 @@ class YoloTrainer(AbstractTrainer):
         self.n_steps = 0
         self._t_epoch = 0.0
 
+        # opt-in device-level tracing (AYOLO_TRACE_DIR/AYOLO_TRACE_STEPS):
+        # a bounded jax.profiler window over early train steps
+        from ayolov2_tpu.utils.profiling import StepWindowTracer
+
+        self._tracer = StepWindowTracer("train")
+        self._step_calls = 0
+
+        # opt-in async checkpointing (train.async_ckpt): device_get + msgpack
+        # + disk write move to a worker thread (jax arrays are immutable, so
+        # the live state is a consistent snapshot); costs one extra state
+        # copy of HBM while a write is in flight
+        self._ckpt_writer = None
+        if bool(tcfg.get("async_ckpt", False)):
+            from ayolov2_tpu.utils.checkpoint import AsyncCheckpointWriter
+
+            self._ckpt_writer = AsyncCheckpointWriter()
+
         # image weights machinery (yolo_trainer.py:435-467)
         self.image_weights = bool(tcfg.get("image_weights", False))
         dataset = train_loader.dataset
@@ -423,6 +440,8 @@ class YoloTrainer(AbstractTrainer):
         if self.multi_scale:
             images = self._random_resize(images, batch_idx)
         images, targets, mask = make_global_batch(self.mesh, images, batch.targets, batch.target_mask)
+        self._tracer.step(self._step_calls)
+        self._step_calls += 1
         self.state, items = self._train_step(
             self.state,
             images if jax.process_count() > 1 else jnp.asarray(images),
@@ -547,18 +566,28 @@ class YoloTrainer(AbstractTrainer):
             # gather the ZeRO-sharded leaves once per checkpoint so the
             # msgpack file stays layout-independent (loads anywhere)
             state = jax.device_put(state, replicate(self.mesh))
-        save_checkpoint(
-            self.wdir / name,
-            state,
-            epoch=epoch,
-            best_score=self.best_score,
-            map50=map50,
-            model_cfg=self.model_cfg_dict,
-        )
+        best_score, model_cfg = self.best_score, self.model_cfg_dict
+
+        def _write(path=self.wdir / name, state=state):
+            save_checkpoint(
+                path, state, epoch=epoch, best_score=best_score,
+                map50=map50, model_cfg=model_cfg,
+            )
+
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.submit(_write)
+        else:
+            _write()
 
     def on_train_end(self) -> None:
+        self._tracer.close()
         if is_main_process():
             self._save_weights(self.current_epoch, "last.ckpt")
+        if self._ckpt_writer is not None:
+            # every queued write must be on disk before train() returns
+            # (resume/SWA read the files immediately after); the daemon
+            # worker stays alive so train() can run again
+            self._ckpt_writer.wait()
         LOGGER.info("Training done. best mAP50 = %.4f; weights in %s", self.best_score, self.wdir)
 
 

@@ -17,6 +17,7 @@ one portable file per checkpoint (last/best/epoch_N file naming preserved).
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple, Union
 
@@ -86,7 +87,75 @@ def save_checkpoint(
         payload["optimizer"] = serialization.to_state_dict(jax.device_get(state.opt_state))
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(serialization.msgpack_serialize(payload))
+    # atomic publish: last.ckpt is overwritten every validation AND on the
+    # SIGTERM preemption path — a crash mid-write must never corrupt the
+    # only resumable artifact. Write-to-tmp + rename is atomic on POSIX.
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointWriter:
+    """Serialize+write checkpoints off the training thread.
+
+    TPU-native analogue of orbax's async checkpointing (SURVEY §5 "orbax-style
+    pytree checkpoints"): jax arrays are immutable, so handing the live state
+    pytree to a worker thread is a consistent zero-copy snapshot — the train
+    loop rebinds ``self.state`` to NEW arrays on the next step while the
+    worker device_gets and writes the old ones. The device transfer, the
+    bf16 cast, msgpack serialization, and the disk write (seconds for
+    yolov5x-scale state through a tunneled backend) all leave the step loop.
+
+    One worker thread + a queue: saves of the same file (last.ckpt every
+    validation) stay ordered. Cost: the snapshot keeps the previous state's
+    device buffers alive until written — budget one extra state copy of HBM
+    when enabling (``train.async_ckpt``).
+
+    The reference has nothing comparable — its ``torch.save`` blocks the
+    loop (scripts/train/yolo_trainer.py:374-390).
+    """
+
+    def __init__(self) -> None:
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True, name="ckpt-writer")
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            try:
+                job()
+            except BaseException as e:  # surfaced on the next wait()/submit()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn) -> None:
+        """Enqueue a zero-arg save callable; raises any prior write error."""
+        self._raise_pending()
+        self._q.put(fn)
+
+    def wait(self) -> None:
+        """Block until every queued save hit disk; re-raise worker errors."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        """Drain, then stop the worker thread."""
+        self.wait()
+        self._q.put(None)
+        self._thread.join(timeout=60)
+
+    def _raise_pending(self) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
 
 
 def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
