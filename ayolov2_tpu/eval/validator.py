@@ -288,6 +288,18 @@ class YoloValidator:
             else:
                 x.block_until_ready()
 
+        # opt-in device-level trace of the whole val loop (AYOLO_TRACE_DIR);
+        # complements the host-side pre/infer/NMS ms/img trio below
+        from ayolov2_tpu.utils.profiling import maybe_trace
+
+        with maybe_trace("val"):
+            return self._validation_loop(
+                verbose, stats, loss_sum, dt, seen, n_batches, loss_fn, _barrier
+            )
+
+    def _validation_loop(
+        self, verbose, stats, loss_sum, dt, seen, n_batches, loss_fn, _barrier
+    ) -> Dict[str, Any]:
         for batch in self.loader:
             bs, h, w = batch.images.shape[0], batch.images.shape[1], batch.images.shape[2]
             t0 = time.perf_counter()

@@ -46,6 +46,13 @@ ITERS = 20
 # driver's budget; the persistent compile cache (prewarmed at round end)
 # makes the normal case ~60-90 s total.
 CHILD_TIMEOUT_S = float(os.environ.get("AYOLO_BENCH_CHILD_TIMEOUT", 260))
+# The retry gets a longer leash: a tunnel waking from idle/wedged state was
+# measured adding ~90 s to even a trivial first jit (2026-08-19), so a cold
+# run that misses the first window usually fits a 1.75x second one (the
+# first attempt itself warms the tunnel/cache).
+CHILD_TIMEOUT2_S = float(
+    os.environ.get("AYOLO_BENCH_CHILD_TIMEOUT2", CHILD_TIMEOUT_S * 1.75)
+)
 
 
 def _log(msg: str) -> None:
@@ -185,6 +192,15 @@ def child_main() -> None:
     dt = tn - t1
     _log(f"measured: {ITERS} chained iters in {dt:.3f}s")
 
+    # opt-in device-level trace of the warm serve loop (AYOLO_TRACE_DIR):
+    # runs AFTER the measurement so the headline number stays clean
+    from ayolov2_tpu.utils.profiling import maybe_trace, trace_dir
+
+    if trace_dir():
+        with maybe_trace("serve"):
+            run(4)
+        _log(f"serve trace written under {trace_dir('serve')}")
+
     img_per_sec = BATCH * ITERS / dt
     print(
         json.dumps(
@@ -200,8 +216,9 @@ def child_main() -> None:
 
 
 def _diagnose(attempt: int, elapsed: float) -> None:
+    limit = CHILD_TIMEOUT_S if attempt == 1 else CHILD_TIMEOUT2_S
     _log(
-        f"attempt {attempt} hit the {CHILD_TIMEOUT_S:.0f}s watchdog after "
+        f"attempt {attempt} hit the {limit:.0f}s watchdog after "
         f"{elapsed:.0f}s — likely another process holds the axon tunnel "
         "(the tunnel serializes clients; a held tunnel makes compiles block "
         "indefinitely)"
@@ -258,7 +275,7 @@ def main() -> None:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
-                timeout=CHILD_TIMEOUT_S,
+                timeout=CHILD_TIMEOUT_S if attempt == 1 else CHILD_TIMEOUT2_S,
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
