@@ -19,10 +19,11 @@ from ayolov2_tpu.parallel.mesh import (
     shard_batch,
     zero_sharding,
 )
-from ayolov2_tpu.parallel.serve import make_sharded_serving_fn
+from ayolov2_tpu.parallel.serve import make_latency_serving_fn, make_sharded_serving_fn
 
 __all__ = [
     "make_sharded_serving_fn",
+    "make_latency_serving_fn",
     "zero_sharding",
     "get_mesh",
     "batch_sharding",

@@ -70,3 +70,61 @@ def make_sharded_serving_fn(
         return sharded(v_sharded, images)
 
     return serve
+
+
+def make_latency_serving_fn(
+    mesh: Mesh,
+    model,
+    variables: Dict[str, Any],
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.65,
+    top_k: int = 512,
+    keep_top_k: int = 100,
+    nms_box: int = 1000,
+    image_dtype=None,
+    img_hw: Optional[Tuple[int, int]] = None,
+    axis: str = "data",
+) -> Callable:
+    """Spatially-partitioned serving: ONE image's FLOPs spread over the mesh.
+
+    DP serving (:func:`make_sharded_serving_fn`) splits the *batch* — total
+    throughput scales with chips, but each image still runs on one chip, so
+    the bs-1 latency floor never moves. The TPU-native latency lever is
+    SPATIAL partitioning (SP): shard the image HEIGHT dim over the mesh and
+    let XLA's SPMD partitioner rewrite every convolution into a
+    halo-exchanged sharded conv — each chip computes a horizontal slab,
+    exchanging only the kernel-overlap rows with its neighbours via
+    collective-permute over ICI. No model change, no hand-written
+    collectives; the tiny decode+NMS tail all-gathers its (N, 5+nc) inputs
+    and replicates.
+
+    The GPU reference has no analogue — its TRT/torchscript engines are
+    strictly single-device (cpp/src/torchscript_runner/main.cpp:29-48 pins
+    one binary per GPU), so per-image latency is fixed by one chip's speed.
+
+    Non-divisible shard sizes (e.g. the /32 pyramid level's 20 rows over 8
+    chips) are handled by the partitioner's internal padding; any batch size
+    works (SP shards H, not batch).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ayolov2_tpu.export.exporter import make_serving_fn
+
+    dtype = image_dtype if image_dtype is not None else jnp.bfloat16
+    core = make_serving_fn(
+        model, None,
+        conf_thres=conf_thres, iou_thres=iou_thres, top_k=top_k,
+        keep_top_k=keep_top_k, nms_box=nms_box, include_nms=True,
+        image_dtype=dtype, fused_decode=img_hw is not None, img_hw=img_hw,
+    )
+    rep = replicate(mesh)
+    v_sharded = jax.device_put(variables, rep)
+    spatial = NamedSharding(mesh, P(None, axis, None, None))
+    sharded = jax.jit(core, in_shardings=(rep, spatial), out_shardings=(rep, rep))
+
+    def serve(images):
+        assert images.ndim == 4, "expected NHWC uint8 images"
+        return sharded(v_sharded, images)
+
+    return serve
