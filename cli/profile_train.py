@@ -92,6 +92,9 @@ def main() -> int:
                    help="lower for CPU smoke runs (e.g. 64)")
     p.add_argument("--skip-remat", action="store_true")
     p.add_argument("--skip-donate", action="store_true")
+    p.add_argument("--skip-breakdown", action="store_true",
+                   help="skip the stage-isolated fwd/loss/bwd/opt programs; "
+                        "still measures the full step (the remat/donate baseline)")
     p.add_argument("--out", type=str, default="")
     args = p.parse_args()
     SIZE = args.img_size
@@ -139,22 +142,23 @@ def main() -> int:
         total, _ = loss_fn(raw, targets, mask)
         return total
 
-    grad_fn = jax.jit(jax.grad(fwd_loss))
-    fwd_j = jax.jit(fwd_only)
-    fwd_loss_j = jax.jit(fwd_loss)
     full_step = jax.jit(make_train_step(model, loss_fn, tx, image_dtype=jnp.bfloat16))
 
     sync_scalar = lambda r: float(r)
     sync_tree = lambda r: float(jnp.asarray(jax.tree_util.tree_leaves(r)[0]).sum())
 
-    t_fwd = _hard_time(lambda: fwd_j(state.params, state.batch_stats, images),
-                       sync_scalar, args.iters)
-    t_fwd_loss = _hard_time(
-        lambda: fwd_loss_j(state.params, state.batch_stats, images, targets, mask),
-        sync_scalar, args.iters)
-    t_grad = _hard_time(
-        lambda: grad_fn(state.params, state.batch_stats, images, targets, mask),
-        sync_tree, args.iters)
+    if not args.skip_breakdown:
+        grad_fn = jax.jit(jax.grad(fwd_loss))
+        fwd_j = jax.jit(fwd_only)
+        fwd_loss_j = jax.jit(fwd_loss)
+        t_fwd = _hard_time(lambda: fwd_j(state.params, state.batch_stats, images),
+                           sync_scalar, args.iters)
+        t_fwd_loss = _hard_time(
+            lambda: fwd_loss_j(state.params, state.batch_stats, images, targets, mask),
+            sync_scalar, args.iters)
+        t_grad = _hard_time(
+            lambda: grad_fn(state.params, state.batch_stats, images, targets, mask),
+            sync_tree, args.iters)
 
     box = {"state": state}
 
@@ -164,50 +168,55 @@ def main() -> int:
 
     t_full = _hard_time(run_full, lambda r: float(jnp.sum(r)), args.iters)
 
-    # direct opt+EMA measurement on fixed grads (cross-check for full-grad)
-    fixed_grads = jax.tree_util.tree_map(
-        lambda x: jnp.full(x.shape, 1e-4, x.dtype), state.params)
-    ema = EMA()
+    if not args.skip_breakdown:
+        # direct opt+EMA measurement on fixed grads (cross-check for full-grad)
+        fixed_grads = jax.tree_util.tree_map(
+            lambda x: jnp.full(x.shape, 1e-4, x.dtype), state.params)
+        ema = EMA()
 
-    @jax.jit
-    def opt_ema(state):
-        updates, new_opt = tx.update(fixed_grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        n = state.ema_updates + 1
-        return state.replace(
-            params=new_params, opt_state=new_opt,
-            ema_params=ema.update(state.ema_params, new_params, n),
-            ema_batch_stats=ema.update(state.ema_batch_stats, state.batch_stats, n),
-            ema_updates=n, step=state.step + 1)
+        @jax.jit
+        def opt_ema(state):
+            updates, new_opt = tx.update(fixed_grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            n = state.ema_updates + 1
+            return state.replace(
+                params=new_params, opt_state=new_opt,
+                ema_params=ema.update(state.ema_params, new_params, n),
+                ema_batch_stats=ema.update(state.ema_batch_stats, state.batch_stats, n),
+                ema_updates=n, step=state.step + 1)
 
-    sbox = {"s": state}
+        sbox = {"s": state}
 
-    def run_opt():
-        sbox["s"] = opt_ema(sbox["s"])
-        return sbox["s"].step
+        def run_opt():
+            sbox["s"] = opt_ema(sbox["s"])
+            return sbox["s"].step
 
-    t_opt_direct = _hard_time(run_opt, lambda r: float(r), args.iters)
+        t_opt_direct = _hard_time(run_opt, lambda r: float(r), args.iters)
 
-    # compiled-executable FLOP count for an honest MFU when available
-    flops = None
-    try:
-        ca = full_step.lower(state, images, targets, mask).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
-    step_flops = flops if flops else FLOP_PER_IMG_FALLBACK * bs
-    emit(metric="train_stage_breakdown", batch_size=bs,
-         fwd_ms=round(t_fwd * 1e3, 2),
-         loss_ms=round((t_fwd_loss - t_fwd) * 1e3, 2),
-         bwd_ms=round((t_grad - t_fwd_loss) * 1e3, 2),
-         opt_ema_ms=round((t_full - t_grad) * 1e3, 2),
-         opt_ema_direct_ms=round(t_opt_direct * 1e3, 2),
-         full_ms=round(t_full * 1e3, 2),
-         img_per_s=round(bs / t_full, 1),
-         mfu_pct=round(100 * step_flops / t_full / V5E_BF16_PEAK, 1),
-         flops_source="xla_cost_analysis" if flops else "analytic_49gf_per_img")
+        # compiled-executable FLOP count for an honest MFU when available
+        flops = None
+        try:
+            ca = full_step.lower(state, images, targets, mask).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        step_flops = flops if flops else FLOP_PER_IMG_FALLBACK * bs
+        emit(metric="train_stage_breakdown", batch_size=bs,
+             fwd_ms=round(t_fwd * 1e3, 2),
+             loss_ms=round((t_fwd_loss - t_fwd) * 1e3, 2),
+             bwd_ms=round((t_grad - t_fwd_loss) * 1e3, 2),
+             opt_ema_ms=round((t_full - t_grad) * 1e3, 2),
+             opt_ema_direct_ms=round(t_opt_direct * 1e3, 2),
+             full_ms=round(t_full * 1e3, 2),
+             img_per_s=round(bs / t_full, 1),
+             mfu_pct=round(100 * step_flops / t_full / V5E_BF16_PEAK, 1),
+             flops_source="xla_cost_analysis" if flops else "analytic_49gf_per_img")
+    else:
+        emit(metric="train_step_full", batch_size=bs,
+             ms_per_step=round(t_full * 1e3, 2), img_per_s=round(bs / t_full, 1),
+             mfu_pct=round(100 * FLOP_PER_IMG_FALLBACK * bs / t_full / V5E_BF16_PEAK, 1))
 
     # --- batch-size sweep of the full step ---
     for b in args.bs_sweep:
