@@ -106,8 +106,45 @@ def _maybe_tag_conv_out(x: jax.Array) -> jax.Array:
     if getattr(_DECOMP, "remat_tags", False):
         from jax.ad_checkpoint import checkpoint_name
 
-        return checkpoint_name(x, "conv_out")
-    return x
+        x = checkpoint_name(x, "conv_out")
+    return _maybe_tp_constrain(x)
+
+
+class tp_scope:
+    """Trace-scope that constrains conv activations to the tensor-parallel
+    layout ``P(data, None, None, model)`` (parallel.mesh.tp_sharding).
+
+    Entered by the train step while tracing under a 2-D (data, model) mesh;
+    every other path (serving, eval, export) traces without constraints and
+    stays mesh-agnostic. Activations whose batch/channel dims don't divide
+    the mesh axes are left unconstrained (the partitioner decides)."""
+
+    def __init__(self, mesh, data_axis: str = "data", model_axis: str = "model"):
+        self.cfg = (mesh, data_axis, model_axis)
+
+    def __enter__(self):
+        self.prev = getattr(_DECOMP, "tp_cfg", None)
+        _DECOMP.tp_cfg = self.cfg
+        return self
+
+    def __exit__(self, *exc):
+        _DECOMP.tp_cfg = self.prev
+        return False
+
+
+def _maybe_tp_constrain(x: jax.Array) -> jax.Array:
+    cfg = getattr(_DECOMP, "tp_cfg", None)
+    if cfg is None or x.ndim != 4:
+        return x
+    mesh, data_axis, model_axis = cfg
+    nd, nm = int(mesh.shape[data_axis]), int(mesh.shape[model_axis])
+    if x.shape[0] % nd != 0 or x.shape[-1] % nm != 0 or x.shape[-1] < nm:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(data_axis, None, None, model_axis))
+    )
 
 
 class _S2DConv(nn.Module):

@@ -16,6 +16,7 @@ from ayolov2_tpu.parallel.mesh import (
     is_main_process,
     make_global_batch,
     replicate,
+    tp_sharding,
     shard_batch,
     zero_sharding,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "make_sharded_serving_fn",
     "make_latency_serving_fn",
     "zero_sharding",
+    "tp_sharding",
     "get_mesh",
     "batch_sharding",
     "replicate",

@@ -150,6 +150,40 @@ def zero_sharding(mesh: Mesh, tree: Any, axis: str = "data", min_elems: int = 65
     return jax.tree_util.tree_map(spec, tree)
 
 
+def tp_sharding(mesh: Mesh, tree: Any, axis: str = "model") -> Any:
+    """Tensor-parallel sharding-spec tree over a 2-D (data, model) mesh
+    (beyond-reference).
+
+    Where :func:`zero_sharding` shards *storage* and gathers full weights at
+    use sites, TP shards the *computation*: every conv kernel is split on
+    its output-channel dim over ``axis`` (HWIO dim 3; Linear dim 1; channel
+    vectors — bias, BN scale/bias/mean/var and their EMA/momenta — dim 0),
+    and the train step constrains conv activations to the matching
+    ``P(data, None, None, model)`` layout (layers.tp_scope), so XLA's SPMD
+    partitioner keeps each chip computing only its channel slice and
+    inserts the cross-channel collectives (all-reduce on the next conv's
+    cin contraction) over ICI. Channel counts not divisible by the axis
+    size (e.g. the 255-wide detection head convs) stay replicated.
+
+    Returns a pytree of NamedSharding congruent with ``tree``.
+    """
+    n = int(mesh.shape[axis])
+    rep = NamedSharding(mesh, P())
+
+    def spec(x):
+        shape = tuple(getattr(x, "shape", ()) or ())
+        if n <= 1 or not shape:
+            return rep
+        d = {4: 3, 2: 1, 1: 0}.get(len(shape))
+        if d is None or shape[d] % n != 0 or shape[d] < n:
+            return rep
+        parts: list = [None] * len(shape)
+        parts[d] = axis
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
     """device_put a host batch with dim-0 sharded across the mesh."""
 

@@ -77,6 +77,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema: EMA = EMA(),
     image_dtype: Any = jnp.bfloat16,
+    tp: Any = None,
 ) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array], Tuple[TrainState, jax.Array]]:
     """Build the pure train-step function.
 
@@ -85,18 +86,27 @@ def make_train_step(
 
     Jit it with batch args sharded over the mesh's 'data' axis and the state
     replicated; XLA handles cross-device reduction.
+
+    ``tp``: a 2-D (data, model) Mesh for tensor-parallel training — conv
+    activations are constrained to P(data, None, None, model) while tracing
+    (models.layers.tp_scope), pairing with parallel.mesh.tp_sharding state
+    shardings so each chip computes only its channel slice.
     """
+    import contextlib
+
+    from ayolov2_tpu.models import layers as L
 
     def step_fn(state: TrainState, images: jax.Array, targets: jax.Array, target_mask: jax.Array):
         imgs = images.astype(image_dtype) / jnp.asarray(255.0, image_dtype)
 
         def compute(params):
-            raw, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs,
-                training=True,
-                mutable=["batch_stats"],
-            )
+            with (L.tp_scope(tp) if tp is not None else contextlib.nullcontext()):
+                raw, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    imgs,
+                    training=True,
+                    mutable=["batch_stats"],
+                )
             total, items = loss_fn(raw, targets, target_mask)
             return total, (mutated["batch_stats"], items)
 

@@ -274,13 +274,33 @@ class YoloTrainer(AbstractTrainer):
 
         # --- mesh + jitted step ---
         devices = jax.devices()[: n_devices or len(jax.devices())]
-        self.mesh = get_mesh(devices)
+        # tensor parallelism (train.tp = model-axis size, beyond-reference):
+        # 2-D (data, model) mesh; conv kernels + activations sharded on the
+        # channel dim (parallel/mesh.tp_sharding + layers.tp_scope) so each
+        # chip computes its channel slice — for models whose activations
+        # don't fit one chip even with remat/fsdp
+        self._tp = int(tcfg.get("tp", 0) or 0)
+        if self._tp > 1:
+            if len(devices) % self._tp:
+                raise ValueError(
+                    f"train.tp={self._tp} does not divide {len(devices)} devices"
+                )
+            self.mesh = get_mesh(
+                devices, axis_names=("data", "model"),
+                shape=(len(devices) // self._tp, self._tp),
+            )
+        else:
+            self.mesh = get_mesh(devices)
         state = create_train_state(variables, self.tx)
         # ZeRO-style state sharding (train.fsdp, beyond-reference): large
         # param/opt/EMA leaves sharded over the data axis instead of
         # replicated; XLA all-gathers weights at use sites and keeps the
         # optimizer/EMA update sharded (parallel/mesh.zero_sharding)
-        if bool(tcfg.get("fsdp", False)) and int(self.mesh.shape["data"]) > 1:
+        if self._tp > 1:
+            from ayolov2_tpu.parallel import tp_sharding
+
+            self._state_sharding = tp_sharding(self.mesh, state)
+        elif bool(tcfg.get("fsdp", False)) and int(self.mesh.shape["data"]) > 1:
             self._state_sharding = zero_sharding(self.mesh, state)
         else:
             self._state_sharding = replicate(self.mesh)
@@ -327,7 +347,8 @@ class YoloTrainer(AbstractTrainer):
         multi = jax.process_count() > 1
         rep = replicate(self.mesh)
         return jax.jit(
-            make_train_step(self.model, self.compute_loss, self.tx, image_dtype=image_dtype),
+            make_train_step(self.model, self.compute_loss, self.tx, image_dtype=image_dtype,
+                            tp=self.mesh if self._tp > 1 else None),
             in_shardings=(
                 self._state_sharding,
                 batch_sharding(self.mesh, 4),
@@ -562,8 +583,8 @@ class YoloTrainer(AbstractTrainer):
 
     def _save_weights(self, epoch: int, name: str, map50: Optional[float] = None) -> None:
         state = self.state
-        if bool(self.tcfg.get("fsdp", False)):
-            # gather the ZeRO-sharded leaves once per checkpoint so the
+        if bool(self.tcfg.get("fsdp", False)) or self._tp > 1:
+            # gather the ZeRO/TP-sharded leaves once per checkpoint so the
             # msgpack file stays layout-independent (loads anywhere)
             state = jax.device_put(state, replicate(self.mesh))
         best_score, model_cfg = self.best_score, self.model_cfg_dict
