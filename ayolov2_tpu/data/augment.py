@@ -24,13 +24,25 @@ from ayolov2_tpu.utils.boxes import bbox_ioa
 from ayolov2_tpu.utils.general import box_candidates, resample_segments, segment2box
 
 
+def hsv_gains(
+    rng: np.random.Generator, hgain: float, sgain: float, vgain: float
+) -> Optional[np.ndarray]:
+    """The augment_hsv random draw alone (None when HSV is disabled —
+    mirrors augment_hsv's early return, which consumes NO rng). Shared by
+    the host LUT path and the on-device augmentation planner so both consume
+    the identical stream."""
+    if not (hgain or sgain or vgain):
+        return None
+    return rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+
+
 def augment_hsv(
     im: np.ndarray, rng: np.random.Generator, hgain: float = 0.5, sgain: float = 0.5, vgain: float = 0.5
 ) -> np.ndarray:
     """LUT-based HSV jitter (in place on a BGR uint8 image)."""
-    if not (hgain or sgain or vgain):
+    r = hsv_gains(rng, hgain, sgain, vgain)
+    if r is None:
         return im
-    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
     x = np.arange(0, 256, dtype=r.dtype)
     # one fused 3-channel LUT (cv2.LUT maps per-channel when the table has
     # im's channel count): same pixels as the reference's split/3xLUT/merge
@@ -159,29 +171,30 @@ def copy_paste2(
     return im1, labels1, seg1
 
 
-def random_perspective(
-    im: np.ndarray,
-    targets: np.ndarray,
+def perspective_matrix(
+    im_shape: Tuple[int, int],
     rng: np.random.Generator,
-    segments: Sequence[np.ndarray] = (),
     degrees: float = 10,
     translate: float = 0.1,
     scale: float = 0.1,
     shear: float = 10,
     perspective: float = 0.0,
     border: Tuple[int, int] = (0, 0),
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Combined center/perspective/rotate-scale/shear/translate warp.
+) -> Tuple[np.ndarray, float, int, int]:
+    """Draw the random_perspective warp matrix WITHOUT touching pixels.
 
-    targets are (n, 5) [cls, x1, y1, x2, y2]; the affine matrix composition
-    order T @ S @ R @ P @ C is load-bearing.
-    """
-    height = im.shape[0] + border[0] * 2
-    width = im.shape[1] + border[1] * 2
+    Returns (M, s, width, height): M maps input(canvas)->output coords, s is
+    the scale draw (box_candidates pre-scale), (width, height) the output
+    size. The RNG draw ORDER (P, angle, scale, shear x2, translate x2) and
+    the composition T @ S @ R @ P @ C are load-bearing — identical to the
+    host warp path and to the reference (yolo_augmentation.py:199-332), so
+    the device-augmentation planner consumes the same stream."""
+    height = im_shape[0] + border[0] * 2
+    width = im_shape[1] + border[1] * 2
 
     C = np.eye(3)
-    C[0, 2] = -im.shape[1] / 2
-    C[1, 2] = -im.shape[0] / 2
+    C[0, 2] = -im_shape[1] / 2
+    C[1, 2] = -im_shape[0] / 2
 
     P = np.eye(3)
     P[2, 0] = rng.uniform(-perspective, perspective)
@@ -200,13 +213,21 @@ def random_perspective(
     T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
     T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
 
-    M = T @ S @ R @ P @ C
-    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-        if perspective:
-            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
-        else:
-            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+    return T @ S @ R @ P @ C, float(s), width, height
 
+
+def perspective_targets(
+    targets: np.ndarray,
+    segments: Sequence[np.ndarray],
+    M: np.ndarray,
+    s: float,
+    width: int,
+    height: int,
+    perspective: float,
+) -> np.ndarray:
+    """Apply the warp matrix to targets (n, 5) [cls, xyxy] and filter by
+    box_candidates — the label half of random_perspective, shared by the
+    host warp and the device-augmentation planner."""
     n = len(targets)
     if n:
         use_segments = any(x.any() for x in segments)
@@ -234,6 +255,38 @@ def random_perspective(
         targets = targets[i]
         targets[:, 1:5] = new[i]
 
+    return targets
+
+
+def random_perspective(
+    im: np.ndarray,
+    targets: np.ndarray,
+    rng: np.random.Generator,
+    segments: Sequence[np.ndarray] = (),
+    degrees: float = 10,
+    translate: float = 0.1,
+    scale: float = 0.1,
+    shear: float = 10,
+    perspective: float = 0.0,
+    border: Tuple[int, int] = (0, 0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Combined center/perspective/rotate-scale/shear/translate warp.
+
+    targets are (n, 5) [cls, x1, y1, x2, y2]; the affine matrix composition
+    order T @ S @ R @ P @ C is load-bearing. Matrix + label math live in
+    :func:`perspective_matrix` / :func:`perspective_targets` (shared with
+    the on-device augmentation planner); this wrapper adds the cv2 pixel
+    warp — behavior identical to before the split."""
+    M, s, width, height = perspective_matrix(
+        im.shape[:2], rng, degrees, translate, scale, shear, perspective, border
+    )
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    targets = perspective_targets(targets, segments, M, s, width, height, perspective)
     return im, targets
 
 

@@ -34,7 +34,10 @@ from ayolov2_tpu.data.augment import (
     augment_hsv,
     copy_paste,
     copy_paste2,
+    hsv_gains,
     mixup,
+    perspective_matrix,
+    perspective_targets,
     random_perspective,
 )
 from ayolov2_tpu.utils.boxes import xyn2xy, xywh2xyxy, xyxy2xywh
@@ -477,6 +480,242 @@ class DetectionDataset(ImageFolderDataset):
             ioa_thr=cp2.get("ioa_thr", 0.3),
         )
 
+    # -- on-device augmentation planning (data/device_augment.py) ---------
+    #
+    # plan_item/plan_mosaic mirror get_item/load_mosaic EXACTLY — same
+    # seeded-RNG draw order, same label math (shared helpers
+    # perspective_matrix/perspective_targets/hsv_gains) — but defer every
+    # pixel operation to the device renderer. Eligibility is checked once at
+    # enable time: features that interleave RNG draws with pixel reads
+    # (copy_paste/copy_paste2) or pixel-only policies cannot be planned.
+
+    def device_aug_ineligible(self) -> Optional[str]:
+        """None when this config can run on-device; else the blocking reason."""
+        ya = self.yolo_augmentation
+        if self.rect:
+            return "rect batching (device aug is square-letterbox only)"
+        if ya.get("copy_paste", 0.0):
+            return "copy_paste > 0 (interleaves RNG with pixel reads; host-only)"
+        if (ya.get("copy_paste2") or {}).get("p", 0.0):
+            return "copy_paste2 > 0 (interleaves RNG with pixel reads; host-only)"
+        if self.policies is not None:
+            for pol in self.policies.policies:
+                for name in pol.get("policy", {}):
+                    if name not in ("HorizontalFlip", "VerticalFlip"):
+                        return f"pixel policy {name} (host-only)"
+        return None
+
+    def enable_device_aug(self, resident: bool = True) -> None:
+        """Switch get_item to PLAN mode: items become (plan, labels, path,
+        shapes) and the DataLoader collates them into PlanBatches for the
+        device renderer. ``resident=True`` additionally pre-assembles every
+        source frame into one (N, s, s, 3) uint8 array for a one-time HBM
+        upload (per-batch H2D shrinks to indices + geometry) — use it when
+        the dataset fits device memory (the golden/fixture regime)."""
+        reason = self.device_aug_ineligible()
+        if reason:
+            raise ValueError(f"device augmentation unsupported: {reason}")
+        self.device_aug = True
+        self.device_aug_resident = resident
+        if resident and getattr(self, "resident_frames", None) is None:
+            self._build_resident_frames()
+
+    def _build_resident_frames(self) -> None:
+        s = self.img_size
+        n = len(self.img_files)
+        nbytes = n * s * s * 3
+        LOGGER.info("building resident frame store: %d frames, %.1f MB", n, nbytes / 1e6)
+        self.resident_frames = np.full((n, s, s, 3), 114, np.uint8)
+        self.frame_hw = np.zeros((n, 2), np.int32)
+        for i in range(n):
+            im, _, (h, w) = self.load_image(i, copy=False)
+            self.resident_frames[i, :h, :w] = im
+            self.frame_hw[i] = (h, w)
+
+    def _src_hw(self, idx: int) -> Tuple[int, int]:
+        """Resized (h1, w1) of a source frame without copying pixels."""
+        if getattr(self, "frame_hw", None) is not None:
+            return int(self.frame_hw[idx, 0]), int(self.frame_hw[idx, 1])
+        return self.load_image(idx, copy=False)[2]
+
+    def plan_mosaic(self, index: int, rng: np.random.Generator, plan: Dict[str, np.ndarray], pair: int) -> np.ndarray:
+        """load_mosaic with pixels deferred: fills plan slot geometry for
+        ``pair`` and returns the transformed labels. RNG draw order is
+        IDENTICAL to load_mosaic (mc center, 3-donor choice, shuffle,
+        perspective draws) — parity-tested in tests/test_device_augment.py."""
+        s = self.img_size
+        half = s // 2
+        mc_h, mc_w = (int(rng.uniform(half, 2 * s - half)) for _ in range(2))
+        indices = [index] + list(rng.choice(self.indices, 3))
+        rng.shuffle(indices)
+
+        mosaic_labels, mosaic_segments = [], []
+        for i, idx in enumerate(indices):
+            idx = int(idx)
+            h, w = self._src_hw(idx)
+            if i == 0:  # top left
+                x1a, y1a, x2a, y2a = max(mc_w - w, 0), max(mc_h - h, 0), mc_w, mc_h
+                x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+            elif i == 1:  # top right
+                x1a, y1a, x2a, y2a = mc_w, max(mc_h - h, 0), min(mc_w + w, s * 2), mc_h
+                x1b, y1b = 0, h - (y2a - y1a)
+            elif i == 2:  # bottom left
+                x1a, y1a, x2a, y2a = max(mc_w - w, 0), mc_h, mc_w, min(s * 2, mc_h + h)
+                x1b, y1b = w - (x2a - x1a), 0
+            else:  # bottom right
+                x1a, y1a, x2a, y2a = mc_w, mc_h, min(mc_w + w, s * 2), min(s * 2, mc_h + h)
+                x1b, y1b = 0, 0
+            plan["src_idx"][pair, i] = idx
+            plan["rects"][pair, i] = (x1a, y1a, x2a, y2a)
+            plan["offs"][pair, i] = (x1a - x1b, y1a - y1b)
+            pad_w, pad_h = x1a - x1b, y1a - y1b
+
+            labels = self.labels[idx].copy() if self.labels[idx].size else np.zeros((0, 5), np.float32)
+            segs = [seg.copy() for seg in self.segments[idx]]
+            if labels.size:
+                labels[:, 1:] = xywh2xyxy(labels[:, 1:], wh=(w, h), pad=(pad_w, pad_h))
+                segs = [xyn2xy(x, wh=(w, h), pad=(pad_w, pad_h)) for x in segs]
+            mosaic_labels.append(labels)
+            mosaic_segments.extend(segs)
+
+        labels4 = np.concatenate(mosaic_labels, 0)
+        for x in (labels4[:, 1:], *mosaic_segments):
+            np.clip(x, 1e-3, 2 * s, out=x)
+        # copy_paste / copy_paste2 are p=0 here (device_aug_ineligible):
+        # with p=0 neither consumes RNG nor pixels in the host path
+
+        persp = self.yolo_augmentation.get("perspective", 0.0)
+        M, sc, width, height = perspective_matrix(
+            (s * 2, s * 2),
+            rng,
+            degrees=self.yolo_augmentation.get("degrees", 0.0),
+            translate=self.yolo_augmentation.get("translate", 0.1),
+            scale=self.yolo_augmentation.get("scale", 0.5),
+            shear=self.yolo_augmentation.get("shear", 0.0),
+            perspective=persp,
+            border=(-half, -half),
+        )
+        labels4 = perspective_targets(labels4, mosaic_segments, M, sc, width, height, persp)
+        plan["minv"][pair] = np.linalg.inv(M).astype(np.float32)
+        return labels4
+
+    def plan_item(self, index: int, salt: int = 0):
+        """get_item with pixels deferred -> (plan, labels, path, shapes)."""
+        index = int(self.indices[index])
+        rng = self._item_rng(index, salt)
+        s = self.img_size
+        ya = self.yolo_augmentation
+        pairs = 2 if ya.get("mixup", 0.0) > 0 else 1
+        plan: Dict[str, np.ndarray] = {
+            "src_idx": np.zeros((pairs, 4), np.int32),
+            "rects": np.zeros((pairs, 4, 4), np.int32),
+            "offs": np.zeros((pairs, 4, 2), np.int32),
+            "minv": np.tile(np.eye(3, dtype=np.float32)[None], (pairs, 1, 1)),
+            "blend": np.float32(1.0),
+            "hsv": np.ones(3, np.float32),
+            "flips": np.zeros(2, np.int32),
+        }
+
+        if rng.random() < ya.get("mosaic", 0.0):
+            labels = self.plan_mosaic(index, rng, plan, 0)
+            shapes = ((0, 0), ((0.0, 0.0), (0.0, 0.0)))
+            if rng.random() < ya.get("mixup", 0.0):
+                j = int(rng.integers(0, len(self.img_files)))
+                labels2 = self.plan_mosaic(j, rng, plan, 1)
+                plan["blend"] = np.float32(rng.beta(32.0, 32.0))
+                labels = np.concatenate((labels, labels2), 0)
+            elif pairs == 2:
+                # mixup configured but not triggered: pair 1 mirrors pair 0
+                # with blend 1.0 so batch shapes stay static
+                for k in ("src_idx", "rects", "offs", "minv"):
+                    plan[k][1] = plan[k][0]
+        else:
+            h1, w1 = self._src_hw(index)
+            w0, h0 = (int(v) for v in self.shapes[index])
+            # letterbox geometry (letterbox() with auto=False, square shape)
+            r = min(s / h1, s / w1)
+            if not self.augment:  # scale_up=self.augment in get_item
+                r = min(r, 1.0)
+            new_w, new_h = int(round(w1 * r)), int(round(h1 * r))
+            dw, dh = (s - new_w) / 2, (s - new_h) / 2
+            top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+            shapes = ((h0, w0), ((h1 / h0, w1 / w0), (dw, dh)))
+
+            labels = self.labels[index].copy() if self.labels[index].size else np.zeros((0, 5), np.float32)
+            segments = [seg.copy() for seg in self.segments[index]]
+            if labels.size:
+                labels[:, 1:] = xywh2xyxy(labels[:, 1:], ratio=(r, r), wh=(w1, h1), pad=(dw, dh))
+                segments = [xyn2xy(x, ratio=(r, r), wh=(w1, h1), pad=(dw, dh)) for x in segments]
+
+            # source -> letterboxed frame affine, cv2.resize half-pixel
+            # convention: x_dst = (x_src + 0.5) * (new_w / w1) - 0.5 + left
+            L = np.eye(3)
+            sx, sy = new_w / w1, new_h / h1
+            L[0, 0], L[0, 2] = sx, 0.5 * sx - 0.5 + left
+            L[1, 1], L[1, 2] = sy, 0.5 * sy - 0.5 + top
+
+            if self.augment:
+                persp = ya.get("perspective", 0.0)
+                M2, sc, w_, h_ = perspective_matrix(
+                    (s, s), rng,
+                    degrees=ya.get("degrees", 0.0),
+                    translate=ya.get("translate", 0.1),
+                    scale=ya.get("scale", 0.5),
+                    shear=ya.get("shear", 0.0),
+                    perspective=persp,
+                )
+                labels = perspective_targets(labels, segments, M2, sc, w_, h_, persp)
+                F = M2 @ L
+            else:
+                F = L
+            plan["minv"][0] = np.linalg.inv(F).astype(np.float32)
+            plan["src_idx"][0, 0] = index
+            plan["rects"][0, 0] = (0, 0, w1, h1)
+            if pairs == 2:
+                for k in ("src_idx", "rects", "offs", "minv"):
+                    plan[k][1] = plan[k][0]
+
+        if labels.size:
+            labels[:, 1:] = xyxy2xywh(labels[:, 1:], wh=(s, s), clip_eps=1e-3)
+
+        if self.policies is not None:  # flips only (device_aug_ineligible)
+            for pol in self.policies.policies:
+                if rng.random() >= pol.get("prob", 1.0):
+                    continue
+                for name, params in pol.get("policy", {}).items():
+                    params = dict(params or {})
+                    p = params.pop("p", 0.5)
+                    if rng.random() >= p:
+                        continue
+                    if name == "HorizontalFlip":
+                        plan["flips"][0] ^= 1
+                        if len(labels):
+                            labels[:, 1] = 1.0 - labels[:, 1]
+                    else:  # VerticalFlip
+                        plan["flips"][1] ^= 1
+                        if len(labels):
+                            labels[:, 2] = 1.0 - labels[:, 2]
+        if self.augment:
+            g = hsv_gains(
+                rng,
+                ya.get("hsv_h", 0.015), ya.get("hsv_s", 0.7), ya.get("hsv_v", 0.4),
+            )
+            if g is not None:
+                plan["hsv"] = g.astype(np.float32)
+
+        if not getattr(self, "device_aug_resident", True):
+            # streaming mode: ship the (padded) source frames with the plan
+            src = np.full((pairs, 4, s, s, 3), 114, np.uint8)
+            for pair in range(pairs):
+                for slot in range(4):
+                    x1a, y1a, x2a, y2a = plan["rects"][pair, slot]
+                    if x2a > x1a and y2a > y1a:
+                        im, _, (h, w) = self.load_image(int(plan["src_idx"][pair, slot]), copy=False)
+                        src[pair, slot, :h, :w] = im
+            plan["src"] = src
+
+        return plan, labels.astype(np.float32), self.img_files[index], shapes
+
     def __getitem__(self, index: int):
         """Returns (img HWC-BGR uint8, (n, 5) [cls, xywh-norm], path, shapes)."""
         return self.get_item(index, 0)
@@ -485,6 +724,8 @@ class DetectionDataset(ImageFolderDataset):
         """__getitem__ with an epoch-position salt (see :meth:`_item_rng`);
         the DataLoader passes each item's position so repeated indices from
         weighted resampling draw fresh augmentations."""
+        if getattr(self, "device_aug", False):
+            return self.plan_item(index, salt)
         index = int(self.indices[index])
         rng = self._item_rng(index, salt)
         shape = self.target_shape(index)

@@ -160,6 +160,10 @@ class DataLoader:
         else:
             items = [self.dataset[int(i)] for i in b]
         if self.detection:
+            if getattr(self.dataset, "device_aug", False):
+                from ayolov2_tpu.data.device_augment import collate_plans
+
+                return collate_plans(items, len(b), self.max_labels, n_real=n_real)
             return collate(items, self.max_labels, n_real=n_real)
         imgs = np.stack([it[0] for it in items])
         metas = [(it[1], it[2]) for it in items[:n_real]]

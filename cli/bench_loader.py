@@ -55,6 +55,14 @@ def get_parser() -> argparse.ArgumentParser:
         "scripts/data_loader/data_loader_utils.py:96-116)",
     )
     p.add_argument(
+        "--device-aug", "--device_aug", action="store_true",
+        help="measure the PLAN-mode loader (on-device augmentation, "
+        "data/device_augment.py): workers emit geometry+labels only; the "
+        "pixel work that dominates the host path moves into the train jit. "
+        "copy_paste is zeroed (host-only feature; see "
+        "DetectionDataset.device_aug_ineligible)",
+    )
+    p.add_argument(
         "--cache", type=str, default="dynamic_mem",
         choices=["cfg", "none", "mem", "dynamic_mem", "disk", "dynamic_disk"],
         help="image cache for the steady-state measurement (epoch 1 pays "
@@ -76,7 +84,8 @@ def bench_loader(loader, n_batches: int) -> float:
             it.close()
             it = iter(loader)
             batch = next(it)
-        n += batch.images.shape[0]
+        # plan-mode batches carry no pixels (images is None) — count n_real
+        n += batch.images.shape[0] if batch.images is not None else batch.n_real
     dt = time.perf_counter() - t0
     it.close()  # join worker threads before interpreter teardown
     return n / dt
@@ -164,6 +173,22 @@ def main() -> int:
         yolo_augmentation={**train_cfg["hyper_params"], **train_cfg["yolo_augmentation"]},
         augmentation=train_cfg.get("augmentation"),
     )
+    if args.device_aug:
+        # zero the host-only features so the config is plan-eligible
+        # (copy_paste interleaves RNG with pixel reads; Blur-family policies
+        # are pixel-only) — flips stay, everything else is unchanged
+        dataset.yolo_augmentation["copy_paste"] = 0.0
+        if isinstance(dataset.yolo_augmentation.get("copy_paste2"), dict):
+            dataset.yolo_augmentation["copy_paste2"]["p"] = 0.0
+        if dataset.policies is not None:
+            kept = []
+            for pol in dataset.policies.policies:
+                names = {k: v for k, v in pol.get("policy", {}).items()
+                         if k in ("HorizontalFlip", "VerticalFlip")}
+                if names:
+                    kept.append({**pol, "policy": names})
+            dataset.policies.policies = kept
+        dataset.enable_device_aug(resident=True)
     modes = ["thread", "process"] if args.workers_mode == "both" else [args.workers_mode]
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=True, drop_last=True,
                         workers=workers, workers_mode=modes[0])
@@ -196,6 +221,7 @@ def main() -> int:
         "loader_by_mode_img_s": {m: round(v, 1) for m, v in per_mode.items()},
         "best_workers_mode": best_mode,
         "cache": args.cache,
+        "device_aug": bool(args.device_aug),
         "workers": workers,
         "batch_size": batch_size,
         "img_size": img_size,

@@ -1,0 +1,197 @@
+"""On-device training augmentation: planner/renderer parity vs the host path.
+
+The device path (datasets.plan_item + data/device_augment.py) must produce:
+  - LABELS bit-identical to the host get_item (same RNG stream, same shared
+    geometry helpers — any drift here silently corrupts training);
+  - IMAGES within interpolation rounding of the host cv2 pipeline
+    (cv2.warpAffine uses 5-bit fixed-point bilinear weights and cv2 HSV
+    round-trips through integer H/S/V; the renderer keeps float precision
+    and rounds once — calibrated band: mean|d| < 1.5, frac(|d|>3) < 6%).
+
+Reference hot loop being replaced: /root/reference/scripts/data_loader/
+data_loader.py:613-724 (__getitem__), :726-830 (mosaic),
+scripts/augmentation/yolo_augmentation.py:397-422 (HSV).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ayolov2_tpu.data import DataLoader, DetectionDataset
+from ayolov2_tpu.data.device_augment import DeviceAugmenter, PlanBatch, collate_plans
+
+VOC = "/root/reference/tests/res/datasets/VOC/images/train"
+needs_fixtures = pytest.mark.skipif(
+    not Path(VOC).exists(), reason="fixture datasets unavailable"
+)
+
+FULL_AUG = dict(
+    augment=True, mosaic=1.0, mixup=0.0, degrees=5.0, translate=0.1,
+    scale=0.5, shear=2.0, perspective=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
+    copy_paste=0.0,
+)
+FLIP_POLICY = [{"policy": {"HorizontalFlip": {"p": 0.5}}, "prob": 1.0}]
+
+
+def _pair(ya=None, policies=None, **kw):
+    common = dict(img_size=128, batch_size=4, rect=False, stride=32, n_skip=4,
+                  cache_images="mem", **kw)
+    host = DetectionDataset(VOC, yolo_augmentation=ya, augmentation=policies, **common)
+    plan = DetectionDataset(VOC, yolo_augmentation=ya, augmentation=policies, **common)
+    plan.enable_device_aug(resident=True)
+    return host, plan
+
+
+def _render1(aug, plan, labels, path, shapes):
+    return np.asarray(aug(collate_plans([(plan, labels, path, shapes)], 1, 64)))[0]
+
+
+def _assert_close(img_h, img_d, mean_tol=1.5, frac3_tol=0.06):
+    d = np.abs(img_h.astype(np.int32) - img_d.astype(np.int32))
+    assert d.mean() <= mean_tol, f"mean |diff| {d.mean():.3f}"
+    assert (d > 3).mean() <= frac3_tol, f"frac(|diff|>3) {(d > 3).mean():.4f}"
+
+
+@needs_fixtures
+def test_mosaic_full_aug_parity():
+    """Mosaic + perspective + HSV + flip policy: labels exact, pixels in the
+    rounding band, over a grid of (index, salt)."""
+    host, plan_ds = _pair(FULL_AUG, FLIP_POLICY)
+    aug = DeviceAugmenter(128, 128, 1, resident_frames=plan_ds.resident_frames)
+    for idx in range(6):
+        for salt in (0, 1):
+            img_h, lab_h, path_h, shp_h = host.get_item(idx, salt)
+            plan, lab_p, path_p, shp_p = plan_ds.plan_item(idx, salt)
+            assert path_h == path_p and shp_h == shp_p
+            np.testing.assert_array_equal(lab_h, lab_p)
+            _assert_close(img_h, _render1(aug, plan, lab_p, path_p, shp_p))
+
+
+@needs_fixtures
+def test_letterbox_no_aug_bit_exact():
+    """augment=False (the memorize-golden regime): square letterbox of the
+    pre-resized cached frame is a pure integer paste — device == host
+    BIT-EXACT, labels and shapes metadata identical."""
+    host, plan_ds = _pair(None)
+    aug = DeviceAugmenter(128, 128, 1, resident_frames=plan_ds.resident_frames)
+    for idx in range(6):
+        img_h, lab_h, path_h, shp_h = host.get_item(idx, 0)
+        plan, lab_p, path_p, shp_p = plan_ds.plan_item(idx, 0)
+        np.testing.assert_array_equal(lab_h, lab_p)
+        assert shp_h == shp_p
+        img_d = _render1(aug, plan, lab_p, path_p, shp_p)
+        np.testing.assert_array_equal(img_h, img_d)
+
+
+@needs_fixtures
+def test_mixup_parity():
+    """mixup > 0: pair dim 2, triggered samples blend with the host's exact
+    Beta draw + uint8 truncation; labels (concatenated) stay exact."""
+    ya = dict(FULL_AUG, mixup=0.7, degrees=3.0, shear=1.0)
+    host, plan_ds = _pair(ya)
+    aug = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames)
+    n_mix = 0
+    for idx in range(6):
+        img_h, lab_h, path_h, shp_h = host.get_item(idx, 0)
+        plan, lab_p, path_p, shp_p = plan_ds.plan_item(idx, 0)
+        np.testing.assert_array_equal(lab_h, lab_p)
+        assert plan["minv"].shape == (2, 3, 3)
+        if float(plan["blend"]) < 1.0:
+            n_mix += 1
+        _assert_close(img_h, _render1(aug, plan, lab_p, path_p, shp_p))
+    assert n_mix >= 2  # p=0.7 over 6 items: mixup actually exercised
+
+
+@needs_fixtures
+def test_streaming_equals_resident():
+    """Streaming (frames shipped per batch) renders the identical pixels as
+    resident (frames gathered from the one-time HBM upload)."""
+    ya = dict(FULL_AUG, mixup=0.5)
+    _, res_ds = _pair(ya)
+    stream_ds = DetectionDataset(VOC, img_size=128, batch_size=4, rect=False,
+                                 stride=32, n_skip=4, cache_images="mem",
+                                 yolo_augmentation=ya)
+    stream_ds.enable_device_aug(resident=False)
+    aug_r = DeviceAugmenter(128, 128, 2, resident_frames=res_ds.resident_frames)
+    aug_s = DeviceAugmenter(128, 128, 2)
+    for idx in (0, 2, 4):
+        plan_r, lab_r, p, shp = res_ds.plan_item(idx, 0)
+        plan_s, lab_s, _, _ = stream_ds.plan_item(idx, 0)
+        np.testing.assert_array_equal(lab_r, lab_s)
+        assert plan_s["src"].shape == (2, 4, 128, 128, 3)
+        img_r = _render1(aug_r, plan_r, lab_r, p, shp)
+        img_s = _render1(aug_s, plan_s, lab_s, p, shp)
+        np.testing.assert_array_equal(img_r, img_s)
+
+
+@needs_fixtures
+def test_loader_plan_batches_match_host_targets():
+    """DataLoader in plan mode: PlanBatch targets/masks are bit-identical to
+    the host loader's with the same seed/epoch — the train step sees the
+    exact same labels either way."""
+    host, plan_ds = _pair(FULL_AUG, FLIP_POLICY)
+    dl_h = DataLoader(host, batch_size=4, shuffle=True, drop_last=True, workers=1)
+    dl_p = DataLoader(plan_ds, batch_size=4, shuffle=True, drop_last=True, workers=1)
+    for bh, bp in zip(dl_h, dl_p):
+        assert isinstance(bp, PlanBatch)
+        assert bp.src is None  # resident mode: indices only
+        np.testing.assert_array_equal(bh.targets, bp.targets)
+        np.testing.assert_array_equal(bh.target_mask, bp.target_mask)
+        assert bh.paths == bp.paths
+        assert bp.minv.shape == (4, 1, 3, 3)
+        assert bp.rects.dtype == np.int32
+
+
+@needs_fixtures
+def test_eligibility_gate():
+    ya_cp = dict(FULL_AUG, copy_paste=0.5)
+    ds = DetectionDataset(VOC, img_size=128, batch_size=4, rect=False, stride=32,
+                          n_skip=4, yolo_augmentation=ya_cp)
+    with pytest.raises(ValueError, match="copy_paste"):
+        ds.enable_device_aug()
+    ds2 = DetectionDataset(VOC, img_size=128, batch_size=4, rect=False, stride=32,
+                           n_skip=4, yolo_augmentation=FULL_AUG,
+                           augmentation=[{"policy": {"Blur": {"p": 0.01}}, "prob": 1.0}])
+    with pytest.raises(ValueError, match="Blur"):
+        ds2.enable_device_aug()
+    ds3 = DetectionDataset(VOC, img_size=128, batch_size=4, rect=True, stride=32,
+                           n_skip=4, yolo_augmentation=FULL_AUG)
+    with pytest.raises(ValueError, match="rect"):
+        ds3.enable_device_aug()
+
+
+@needs_fixtures
+def test_trainer_device_aug_smoke(tmp_path):
+    """One epoch of the real YoloTrainer with device augmentation ON
+    (resident frames): renders PlanBatches on device inside training_step,
+    trains, checkpoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from ayolov2_tpu.models import build_model, init_model
+    from ayolov2_tpu.train.trainer import YoloTrainer
+    from ayolov2_tpu.utils.config import load_yaml
+    from tests.test_train_step import TINY_CFG
+
+    cfg = load_yaml("res/configs/cfg/train_config.yaml")
+    cfg["train"].update(
+        epochs=1, batch_size=8, image_size=64, workers=1, patience=5,
+        auto_anchor=False, label_type="labels", half=False, plot=False,
+        device_aug=True,
+    )
+    model = build_model(TINY_CFG, dtype=jnp.float32, nc=20)
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    ya = dict(FULL_AUG, mosaic=0.5)
+    ds = DetectionDataset(VOC, img_size=64, batch_size=8, rect=False, stride=32,
+                          n_skip=8, cache_images="mem", yolo_augmentation=ya)
+    ds.enable_device_aug(resident=True)
+    loader = DataLoader(ds, batch_size=8, shuffle=False, drop_last=True, workers=1)
+    trainer = YoloTrainer(
+        model, variables, cfg, loader, val_loader=None, log_dir=str(tmp_path),
+        model_cfg_dict={"n_classes": 20},
+    )
+    trainer.train()
+    assert int(trainer.state.step) == len(loader)
+    assert np.isfinite(trainer.mloss).all()
+    assert (tmp_path / "weights" / "last.ckpt").exists()
