@@ -165,23 +165,49 @@ def tp_sharding(mesh: Mesh, tree: Any, axis: str = "model") -> Any:
     cin contraction) over ICI. Channel counts not divisible by the axis
     size (e.g. the 255-wide detection head convs) stay replicated.
 
+    The shard dim is keyed on the LEAF NAME, not bare rank (ADVICE r4 #4):
+    optimizer/EMA leaves mirror the param tree so their trailing path key is
+    the same ``kernel``/``bias``/``scale``/``mean``/``var`` name; any leaf
+    whose name or rank falls outside this table is replicated (safe) rather
+    than silently sharded on a dim that may not be output-channel-major.
+
     Returns a pytree of NamedSharding congruent with ``tree``.
     """
     n = int(mesh.shape[axis])
     rep = NamedSharding(mesh, P())
+    # leaf-name -> {ndim: output-channel dim}: conv kernels are HWIO (dim 3),
+    # Linear kernels (in, out) (dim 1), channel vectors dim 0
+    dim_by_name = {
+        "kernel": {4: 3, 2: 1},
+        "q_kernel": {4: 3, 2: 1},
+        "bias": {1: 0},
+        "scale": {1: 0},
+        "mean": {1: 0},
+        "var": {1: 0},
+        "w_scale": {1: 0},
+    }
 
-    def spec(x):
+    def _leaf_name(path) -> str:
+        for entry in reversed(path):
+            key = getattr(entry, "key", None)
+            if key is None:
+                key = getattr(entry, "name", None)
+            if isinstance(key, str):
+                return key
+        return ""
+
+    def spec(path, x):
         shape = tuple(getattr(x, "shape", ()) or ())
         if n <= 1 or not shape:
             return rep
-        d = {4: 3, 2: 1, 1: 0}.get(len(shape))
+        d = dim_by_name.get(_leaf_name(path), {}).get(len(shape))
         if d is None or shape[d] % n != 0 or shape[d] < n:
             return rep
         parts: list = [None] * len(shape)
         parts[d] = axis
         return NamedSharding(mesh, P(*parts))
 
-    return jax.tree_util.tree_map(spec, tree)
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:

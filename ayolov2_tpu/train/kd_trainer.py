@@ -146,7 +146,9 @@ class SoftTeacherTrainer(AbstractTrainer):
         # ZeRO-style student-state sharding (train.fsdp) — same lever as
         # YoloTrainer; the frozen teacher stays replicated (inference-only)
         if bool(tcfg.get("fsdp", False)) and int(self.mesh.shape["data"]) > 1:
-            self._state_sharding = zero_sharding(self.mesh, state)
+            self._state_sharding = zero_sharding(
+                self.mesh, state, min_elems=int(tcfg.get("fsdp_min_elems", 65536))
+            )
         else:
             self._state_sharding = replicate(self.mesh)
         self.state: TrainState = jax.device_put(state, self._state_sharding)
@@ -283,17 +285,37 @@ class SoftTeacherTrainer(AbstractTrainer):
         return {}
 
     def on_preempt(self) -> None:
-        # mid-epoch SIGTERM (single-process path): persist the student state
+        # mid-epoch SIGTERM (single-process path): persist the student state;
+        # the partial epoch stamps the previous one so resume re-runs it
+        # (ADVICE r4 #2, same semantics as YoloTrainer)
         if is_main_process():
             self._save_weights("last.ckpt")
 
+    def _gather_state_for_ckpt(self):
+        """Replicate fsdp-sharded student state for a layout-independent
+        checkpoint. COLLECTIVE in multi-process runs — every host must
+        execute it before any host-0-gated save (ADVICE r4 #1)."""
+        if not bool(self.tcfg.get("fsdp", False)):
+            return self.state
+        return jax.device_put(self.state, replicate(self.mesh))
+
     def validation(self) -> None:
         if jax.process_count() > 1:
+            # all hosts join the checkpoint gather BEFORE the rank gate —
+            # the saves below are host-0-only and must not trigger a
+            # collective on their own (ADVICE r4 #1)
+            self._ckpt_state = self._gather_state_for_ckpt()
             # KD has no early stopping upstream — preemption is the only
             # stop source; fold it into an all-hosts max so every host
             # leaves the collective epoch loop together
             if host_broadcast_max(self.mesh, 1.0 if self.is_preempted else 0.0) > 0:
                 self.is_early_stop = True
+        try:
+            self._validation_main()
+        finally:
+            self._ckpt_state = None
+
+    def _validation_main(self) -> None:
         if not is_main_process():
             return  # host-0-only val/ckpt (kd_trainer.py rank gating)
         if self.val_loader is None:
@@ -324,17 +346,23 @@ class SoftTeacherTrainer(AbstractTrainer):
         # drain so the producer can observe the stop flag
         while not self._pseudo_q.empty():
             self._pseudo_q.get_nowait()
+        if jax.process_count() > 1:
+            self._ckpt_state = self._gather_state_for_ckpt()  # collective, all hosts
         if is_main_process():
             self._save_weights("last.ckpt")
+        self._ckpt_state = None
         if self._ckpt_writer is not None:
             self._ckpt_writer.wait()
 
     def _save_weights(self, name: str, map50: Optional[float] = None) -> None:
-        state = self.state
-        if bool(self.tcfg.get("fsdp", False)):
-            # gather ZeRO-sharded leaves so the file stays layout-independent
-            state = jax.device_put(state, replicate(self.mesh))
-        epoch, best_score, model_cfg = self.current_epoch, self.best_score, self.model_cfg_dict
+        # multi-process saves use the all-hosts pre-gathered state
+        # (validation/on_train_end); single-process gathers locally
+        state = (
+            self._ckpt_state if getattr(self, "_ckpt_state", None) is not None
+            else self._gather_state_for_ckpt()
+        )
+        epoch = self.current_epoch - 1 if self.partial_epoch else self.current_epoch
+        best_score, model_cfg = self.best_score, self.model_cfg_dict
 
         def _write(path=self.wdir / name, state=state):
             save_checkpoint(

@@ -132,6 +132,20 @@ def main() -> None:
         augmentation=cfg.get("augmentation"),
         **common,
     )
+    if bool(tcfg.get("device_aug", False)):
+        # on-device augmentation (ayolov2_tpu/data/device_augment.py): the
+        # loader workers plan geometry/labels only; mosaic+warp+HSV+flip
+        # pixels run as one jitted program on the chip. 'auto' keeps the
+        # source frames device-resident when the dataset fits (<=2 GB).
+        resident = tcfg.get("device_aug_resident", "auto")
+        if resident == "auto":
+            n_bytes = len(train_dataset) * img_size * img_size * 3
+            resident = n_bytes <= 2 * 1024**3
+        train_dataset.enable_device_aug(resident=bool(resident))
+        LOGGER.info(
+            "device augmentation ON (%s source frames)",
+            "resident" if resident else "streamed",
+        )
     train_loader = DataLoader(
         train_dataset,
         batch_size=int(tcfg["batch_size"]),
@@ -144,16 +158,35 @@ def main() -> None:
         # data_loader_utils.py:67,101-103): each host loads 1/N of every batch
         shard=shard,
     )
-    val_loader = None
+    # In-training validation protocol (train.val_geometry):
+    #   rect  (default) — the reference's held-out protocol: rect batches,
+    #           pad 0.5 (val.py:303-326, train_utils.py:573-609).
+    #   train — validation geometry MATCHES training geometry (square
+    #           letterbox when rect/aug are off). An aug-free overfit run
+    #           validated rect-pad-0.5 reads ~0.33 mAP50 low (the r4
+    #           memorization run scored 0.663 rect vs 0.995 on its actual
+    #           training frames) — use this for memorization/aug-off runs.
+    #   both  — primary rect (best-ckpt/early-stop source) + a second
+    #           train-geometry pass logged as mAP50_train_geom each val.
+    val_geometry = str(tcfg.get("val_geometry", "rect"))
+    val_loader = val_loader_aux = None
     if data_cfg.get("val_path") and is_main_process():
-        val_dataset = DetectionDataset(
-            data_cfg["val_path"], rect=True, pad=0.5, **common
-        )
-        val_loader = DataLoader(
-            val_dataset,
-            batch_size=int(tcfg["batch_size"]),
-            max_labels_per_image=int(tcfg.get("max_labels_per_image", 64)),
-        )
+
+        def _val_loader(rect: bool, pad: float):
+            ds = DetectionDataset(data_cfg["val_path"], rect=rect, pad=pad, **common)
+            return DataLoader(
+                ds,
+                batch_size=int(tcfg["batch_size"]),
+                max_labels_per_image=int(tcfg.get("max_labels_per_image", 64)),
+            )
+
+        train_geom = dict(rect=bool(tcfg.get("rect", False)), pad=0.0)
+        if val_geometry == "train":
+            val_loader = _val_loader(**train_geom)
+        else:
+            val_loader = _val_loader(rect=True, pad=0.5)
+            if val_geometry == "both":
+                val_loader_aux = _val_loader(**train_geom)
 
     # --- init / transfer weights ---
     variables = init_model(model, jax.random.PRNGKey(0), img_size=img_size)
@@ -195,6 +228,7 @@ def main() -> None:
         cfg,
         train_loader,
         val_loader=val_loader,
+        val_loader_aux=val_loader_aux,
         log_dir=str(log_dir),
         class_names=names,
         use_swa=args.use_swa,

@@ -57,6 +57,10 @@ def main() -> None:
     cfg["train"].update(
         epochs=100, batch_size=8, image_size=64, workers=1, patience=10_000,
         auto_anchor=False, label_type="labels", half=False, plot=False,
+        # ZeRO-sharded state ON: every per-epoch last.ckpt save must gather
+        # the cross-process-sharded leaves with ALL hosts participating
+        # (ADVICE r4 #1) — a host-0-only gather deadlocks this cluster
+        fsdp=True, fsdp_min_elems=2048,
     )
     model = build_model(TINY_CFG, dtype=jnp.float32, nc=20)
     variables = init_model(model, jax.random.PRNGKey(0), img_size=64)

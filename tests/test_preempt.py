@@ -54,17 +54,23 @@ def test_sigterm_mid_training_checkpoints_and_exits_cleanly(tmp_path):
     # clean exit through the lifecycle, not a signal death (rc would be -15)
     assert proc.returncode == 0, full[-3000:]
     assert "TRAIN_RETURNED preempted=True" in full, full[-3000:]
-    # stopped hundreds of epochs before the configured 500
+    # stopped hundreds of epochs before the configured 500. The signal is
+    # sent after EPOCH_DONE 1 (two epochs complete) and can land either in
+    # the boundary window of epoch 1 or during epoch 2 — both are clean
+    # preemptions, so accept current_epoch of 1 or above.
     epoch = int(full.rsplit("epoch=", 1)[1].split()[0])
-    assert 2 <= epoch < 10, full[-1500:]
+    assert 1 <= epoch < 10, full[-1500:]
 
-    # the preempt checkpoint is on disk and resumable at the next epoch
+    # the preempt checkpoint is on disk; the interrupted epoch ran only some
+    # of its batches, so the ckpt stamps the PREVIOUS epoch — resume()
+    # (start_epoch = epoch+1) then re-runs the interrupted epoch in full
+    # instead of silently skipping its remaining batches (ADVICE r4 #2)
     ckpt = tmp_path / "weights" / "last.ckpt"
     assert ckpt.exists()
     from ayolov2_tpu.utils.checkpoint import load_variables
 
     _, meta = load_variables(ckpt)
-    assert int(meta["epoch"]) == epoch
+    assert int(meta["epoch"]) == epoch - 1
 
 
 @pytest.mark.skipif(not Path(VOC_TRAIN).exists(), reason="fixture datasets unavailable")
