@@ -69,6 +69,10 @@ def make_sharded_serving_fn(
         )
         return sharded(v_sharded, images)
 
+    # exposed for compiled-structure assertions (tests inspect the HLO for
+    # the expected collectives instead of trusting numeric parity alone)
+    serve.jitted = sharded
+    serve.variables = v_sharded
     return serve
 
 
@@ -127,4 +131,10 @@ def make_latency_serving_fn(
         assert images.ndim == 4, "expected NHWC uint8 images"
         return sharded(v_sharded, images)
 
+    # exposed for compiled-structure assertions: tests grep the compiled HLO
+    # for collective-permute (halo exchange) and per-partition conv shapes —
+    # numeric parity alone cannot distinguish true spatial partitioning from
+    # a partitioner regression that all-gathers and computes replicated
+    serve.jitted = sharded
+    serve.variables = v_sharded
     return serve
