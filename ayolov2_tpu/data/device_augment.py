@@ -27,6 +27,15 @@ Key design points (TPU-first):
     directly from the source frame — paste-then-warp pixel semantics match
     cv2.warpAffine(borderValue=114) exactly because canvas background and
     out-of-canvas border share the 114 fill.
+  - TWO renderers, selected per batch ("auto"): the general one gathers
+    (any warp), but TPU random gathers are slow — at 640px it is pixel-bound
+    (runs/bench_matrix/matrix_r5_train_e2e_640.json). The reference's
+    DEFAULT recipe has degrees == shear == perspective == 0
+    (res/configs/cfg/train_config.yaml, mirroring the reference's
+    train_config), making M^-1 axis-aligned: the back-projection factorizes
+    per axis and the whole mosaic-paste + affine resample becomes, per
+    quadrant k,  out += R_k @ frame_k @ C_k^T  with banded bilinear weight
+    matrices — pure MXU batched matmuls, zero gathers ("separable" mode).
   - Source frames ride to the device as uint8 and can be RESIDENT: a
     dataset that fits HBM (golden/fixture runs; 96 imgs @320 = 28 MB) is
     uploaded once and each batch transfers only indices + a few hundred
@@ -162,6 +171,59 @@ def _render_canvas(frames_flat, src_idx, rects, offs, minv, out_hw: Tuple[int, i
     return acc.reshape(h, w, 3)
 
 
+def _axis_weight_matrix(scale, off, lo, hi, src_off, out_len: int, S: int):
+    """(out_len, S) bilinear weight matrix for one axis of one paste rect.
+
+    Output coord x back-projects to canvas u = scale*x + off; each of its two
+    integer taps u0, u0+1 contributes weight (1-fu, fu) masked to the rect's
+    [lo, hi) extent, landing on source column clip(u - src_off, 0, S-1) —
+    the exact tap/weight/clip math of _resolve_taps/_render_canvas, factored
+    per axis. Row sums give the rect's per-output-coordinate coverage (the
+    fill weight rides the residual)."""
+    x = jnp.arange(out_len, dtype=jnp.float32)
+    u = scale * x + off
+    u0f = jnp.floor(u)
+    fu = u - u0f
+    u0 = u0f.astype(jnp.int32)
+    cols = jnp.arange(S, dtype=jnp.int32)[None, :]
+    W = jnp.zeros((out_len, S), jnp.float32)
+    for d, wgt in ((0, 1.0 - fu), (1, fu)):
+        ut = u0 + d
+        in_ax = (ut >= lo) & (ut < hi)
+        sx = jnp.clip(ut - src_off, 0, S - 1)
+        W = W + (wgt * in_ax)[:, None] * (sx[:, None] == cols)
+    return W
+
+
+def _render_canvas_separable(frames, src_idx, rects, offs, minv, out_hw: Tuple[int, int], S: int):
+    """One sample, one pair member — axis-aligned warps only.
+
+    Requires minv[0,1] == minv[1,0] == minv[2,0] == minv[2,1] == 0 (hyp
+    degrees == shear == perspective == 0, the reference's default recipe):
+    then u depends only on x and v only on y, the per-quadrant hit test
+    factorizes as inx_k(u)·iny_k(v), and the full bilinear resample of the
+    virtual mosaic canvas is  sum_k R_k @ frame_k @ C_k^T  plus
+    FILL·(1 - coverage) where coverage is the outer product of the weight
+    matrices' row sums. This turns ~4·h·w random gathers per image (the
+    measured 640px bottleneck — TPU gathers are slow) into batched MXU
+    matmuls. frames is (N, S, S, 3) f32; returns (h, w, 3) f32 unrounded,
+    same values as _render_canvas up to f32 summation order."""
+    h, w = out_hw
+    z = minv[2, 2]
+    acc = jnp.zeros((h, w, 3), jnp.float32)
+    cov = jnp.zeros((h, w), jnp.float32)
+    for k in range(4):
+        C = _axis_weight_matrix(minv[0, 0] / z, minv[0, 2] / z,
+                                rects[k, 0], rects[k, 2], offs[k, 0], w, S)
+        R = _axis_weight_matrix(minv[1, 1] / z, minv[1, 2] / z,
+                                rects[k, 1], rects[k, 3], offs[k, 1], h, S)
+        f = frames[src_idx[k]]
+        t = jnp.tensordot(R, f, axes=((1,), (0,)))   # (h, S, 3): contract sy
+        acc = acc + jnp.einsum("hxc,wx->hwc", t, C)  # contract sx
+        cov = cov + R.sum(1)[:, None] * C.sum(1)[None, :]
+    return acc + FILL * (1.0 - cov)[..., None]
+
+
 def _hsv_jitter(img, r):
     """cv2-convention HSV jitter on a float (h, w, 3) BGR image in [0, 255].
 
@@ -203,13 +265,13 @@ def _hsv_jitter(img, r):
     return jnp.stack([b_ + m, g_ + m, r_ + m], axis=-1)
 
 
-def _render_sample(frames_flat, src_idx, rects, offs, minv, blend, hsv, flips,
-                   out_hw: Tuple[int, int], S: int, pairs: int):
+def _render_sample(frames, src_idx, rects, offs, minv, blend, hsv, flips,
+                   out_hw: Tuple[int, int], S: int, pairs: int, canvas_fn=_render_canvas):
     """Full per-sample augmentation: render pair(s), mixup blend, HSV, flips."""
-    img = _render_canvas(frames_flat, src_idx[0], rects[0], offs[0], minv[0], out_hw, S)
+    img = canvas_fn(frames, src_idx[0], rects[0], offs[0], minv[0], out_hw, S)
     img = jnp.round(img)  # warpAffine rounds each pair member to uint8
     if pairs == 2:
-        img2 = _render_canvas(frames_flat, src_idx[1], rects[1], offs[1], minv[1], out_hw, S)
+        img2 = canvas_fn(frames, src_idx[1], rects[1], offs[1], minv[1], out_hw, S)
         img2 = jnp.round(img2)
         # host mixup: (im*r + im2*(1-r)).astype(uint8) — truncation
         img = jnp.floor(img * blend + img2 * (1.0 - blend))
@@ -219,25 +281,36 @@ def _render_sample(frames_flat, src_idx, rects, offs, minv, blend, hsv, flips,
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
 
-def make_render_fn(img_size: int, frame_size: int, pairs: int = 1):
+def make_render_fn(img_size: int, frame_size: int, pairs: int = 1,
+                   mode: str = "gather"):
     """Build the jitted batch renderer.
 
     Args:
         img_size: output side s (square training batches).
         frame_size: source slot side S (frames padded to (S, S, 3)).
         pairs: 2 when the config enables mixup, else 1.
+        mode: "gather" (any warp; bilinear taps as random gathers) or
+            "separable" (axis-aligned warps only; MXU matmul renderer —
+            the fast path for the reference's default hyp).
 
     Returns render(frames, src_idx, rects, offs, minv, blend, hsv, flips)
     -> (B, s, s, 3) uint8, where frames is (N, S, S, 3) uint8 — the resident
     dataset or the streamed per-batch frames (flattened), indexed by src_idx.
     """
+    if mode not in ("gather", "separable"):
+        raise ValueError(f"unknown render mode {mode!r}")
 
     def render(frames, src_idx, rects, offs, minv, blend, hsv, flips):
         n = frames.shape[0]
-        frames_flat = frames.reshape(n * frame_size * frame_size, 3).astype(jnp.float32)
+        frames_f = frames.astype(jnp.float32)
+        if mode == "gather":
+            frames_f = frames_f.reshape(n * frame_size * frame_size, 3)
+            canvas_fn = _render_canvas
+        else:
+            canvas_fn = _render_canvas_separable
         fn = lambda si, rc, of, mv, bl, hs, fl: _render_sample(
-            frames_flat, si, rc, of, mv, bl, hs, fl,
-            (img_size, img_size), frame_size, pairs,
+            frames_f, si, rc, of, mv, bl, hs, fl,
+            (img_size, img_size), frame_size, pairs, canvas_fn,
         )
         return jax.vmap(fn)(src_idx, rects, offs, minv, blend, hsv, flips)
 
@@ -253,16 +326,46 @@ class DeviceAugmenter:
     """
 
     def __init__(self, img_size: int, frame_size: int, pairs: int = 1,
-                 resident_frames: Optional[np.ndarray] = None) -> None:
+                 resident_frames: Optional[np.ndarray] = None,
+                 mode: str = "auto") -> None:
+        import os
+
+        mode = os.environ.get("AYOLO_DEVICE_AUG_MODE", mode)
+        if mode not in ("auto", "gather", "separable"):
+            raise ValueError(f"unknown render mode {mode!r}")
         self.img_size = img_size
         self.frame_size = frame_size
         self.pairs = pairs
-        self._render = make_render_fn(img_size, frame_size, pairs)
+        self.mode = mode
+        self._render_fns: Dict[str, Any] = {}
         self._frames = None
         if resident_frames is not None:
             self._frames = jax.device_put(np.ascontiguousarray(resident_frames))
 
+    def _fn(self, mode: str):
+        if mode not in self._render_fns:
+            self._render_fns[mode] = make_render_fn(
+                self.img_size, self.frame_size, self.pairs, mode)
+        return self._render_fns[mode]
+
+    @staticmethod
+    def _batch_separable(minv) -> bool:
+        """True when every plan warp in the batch is axis-aligned."""
+        m = np.asarray(minv)
+        return bool(
+            np.all(m[..., 0, 1] == 0) and np.all(m[..., 1, 0] == 0)
+            and np.all(m[..., 2, 0] == 0) and np.all(m[..., 2, 1] == 0)
+        )
+
     def __call__(self, batch: PlanBatch):
+        mode = self.mode
+        if mode == "auto":
+            mode = "separable" if self._batch_separable(batch.minv) else "gather"
+        elif mode == "separable" and not self._batch_separable(batch.minv):
+            raise ValueError(
+                "separable renderer requires axis-aligned plans (hyp degrees"
+                " == shear == perspective == 0); use mode='auto' or 'gather'"
+            )
         if self._frames is not None:
             frames, src_idx = self._frames, batch.src_idx
         else:
@@ -272,7 +375,7 @@ class DeviceAugmenter:
             b, p = batch.src.shape[:2]
             frames = batch.src.reshape(b * p * 4, self.frame_size, self.frame_size, 3)
             src_idx = np.arange(b * p * 4, dtype=np.int32).reshape(b, p, 4)
-        return self._render(
+        return self._fn(mode)(
             frames, jnp.asarray(src_idx), jnp.asarray(batch.rects),
             jnp.asarray(batch.offs), jnp.asarray(batch.minv),
             jnp.asarray(batch.blend), jnp.asarray(batch.hsv),

@@ -143,6 +143,66 @@ def test_loader_plan_batches_match_host_targets():
         assert bp.rects.dtype == np.int32
 
 
+AXIS_ALIGNED = dict(FULL_AUG, degrees=0.0, shear=0.0)  # the reference default
+
+
+@needs_fixtures
+def test_separable_matches_gather():
+    """The MXU-matmul renderer == the gather renderer on axis-aligned plans
+    (the reference's default hyp): same taps, same weights, different
+    summation order — a pre-HSV rounding flip amplified by the HSV gain
+    (<= 1.7x) bounds the drift at 2 LSB on a vanishing fraction of pixels
+    (measured: worst 2, ~4e-5 of pixels). Covers mosaic, letterbox, mixup."""
+    ya = dict(AXIS_ALIGNED, mosaic=0.5, mixup=0.5)
+    _, plan_ds = _pair(ya)
+    aug_g = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames,
+                            mode="gather")
+    aug_s = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames,
+                            mode="separable")
+    for idx in range(6):
+        for salt in (0, 1):
+            plan, lab, path, shp = plan_ds.plan_item(idx, salt)
+            img_g = _render1(aug_g, plan, lab, path, shp)
+            img_s = _render1(aug_s, plan, lab, path, shp)
+            d = np.abs(img_g.astype(np.int32) - img_s.astype(np.int32))
+            assert d.max() <= 2, f"idx {idx} salt {salt}: max |diff| {d.max()}"
+            assert (d > 0).mean() < 0.001, f"idx {idx} salt {salt}: {(d > 0).mean():.5f} pixels differ"
+
+
+@needs_fixtures
+def test_separable_matches_host():
+    """Separable renderer vs the host cv2 pipeline under the default
+    (axis-aligned) hyp — same rounding band as the gather renderer."""
+    host, plan_ds = _pair(AXIS_ALIGNED, FLIP_POLICY)
+    aug = DeviceAugmenter(128, 128, 1, resident_frames=plan_ds.resident_frames,
+                          mode="separable")
+    for idx in range(6):
+        img_h, lab_h, path_h, shp_h = host.get_item(idx, 0)
+        plan, lab_p, path_p, shp_p = plan_ds.plan_item(idx, 0)
+        np.testing.assert_array_equal(lab_h, lab_p)
+        _assert_close(img_h, _render1(aug, plan, lab_p, path_p, shp_p))
+
+
+@needs_fixtures
+def test_auto_mode_selection():
+    """mode='auto' picks separable for axis-aligned batches and gather for
+    rotated ones; mode='separable' refuses rotated plans loudly."""
+    _, aligned_ds = _pair(AXIS_ALIGNED)
+    _, rotated_ds = _pair(FULL_AUG)  # degrees=5, shear=2
+    aug = DeviceAugmenter(128, 128, 1, resident_frames=aligned_ds.resident_frames)
+    plan, lab, path, shp = aligned_ds.plan_item(0, 0)
+    _render1(aug, plan, lab, path, shp)
+    assert set(aug._render_fns) == {"separable"}
+    plan_r, lab_r, path_r, shp_r = rotated_ds.plan_item(0, 0)
+    aug2 = DeviceAugmenter(128, 128, 1, resident_frames=rotated_ds.resident_frames)
+    _render1(aug2, plan_r, lab_r, path_r, shp_r)
+    assert set(aug2._render_fns) == {"gather"}
+    aug3 = DeviceAugmenter(128, 128, 1, resident_frames=rotated_ds.resident_frames,
+                           mode="separable")
+    with pytest.raises(ValueError, match="axis-aligned"):
+        _render1(aug3, plan_r, lab_r, path_r, shp_r)
+
+
 @needs_fixtures
 def test_eligibility_gate():
     ya_cp = dict(FULL_AUG, copy_paste=0.5)
