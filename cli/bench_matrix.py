@@ -269,7 +269,10 @@ def main() -> int:
                              batch_size=tr_bs)
         step = jax.jit(make_train_step(model, loss_fn, tx, image_dtype=jnp.bfloat16))
 
-        for mode in ("host", "device"):
+        modes = tuple(
+            os.environ.get("AYOLO_TRAIN_E2E_MODES", "host,device").split(","))
+        last_batch = None
+        for mode in modes:
             ds = DetectionDataset(voc, img_size=tr_size, batch_size=tr_bs,
                                   rect=False, stride=32, cache_images="mem",
                                   yolo_augmentation=ya)
@@ -291,6 +294,7 @@ def main() -> int:
                     imgs = augmenter(batch) if mode == "device" else jnp.asarray(batch.images)
                     state, items = step(state, imgs, jnp.asarray(batch.targets),
                                         jnp.asarray(batch.target_mask))
+                    last_batch = batch
                     if t0 is not None:
                         n_img += tr_bs
                 if epoch == 0:  # timing starts after the compile epoch
@@ -305,6 +309,35 @@ def main() -> int:
                 "epochs_timed": 2,
                 "note": "real loader + real step, overlapped (2 workers); "
                         f"{mode}-side augmentation",
+            }
+            ROWS.append(row)
+            print(json.dumps(row), flush=True)
+
+        # step-only denominator at the SAME size/bs: device-resident inputs,
+        # chained iterations — the ceiling the e2e rows are chasing. The gap
+        # between device_aug e2e and this row is the remaining input-pipeline
+        # cost (plan H2D + renderer not hidden by the step).
+        if last_batch is not None:
+            imgs_r = jnp.asarray(
+                np.random.default_rng(0).integers(
+                    0, 255, (tr_bs, tr_size, tr_size, 3), dtype=np.uint8
+                ).astype(np.float32))
+            tgts_r = jnp.asarray(last_batch.targets)
+            mask_r = jnp.asarray(last_batch.target_mask)
+            state = create_train_state(var_tr, tx)
+
+            def _step_only():
+                _, it = step(state, imgs_r, tgts_r, mask_r)
+                return it
+
+            t = _hard_time(_step_only, lambda r: float(jnp.sum(r)),
+                           iters=args.iters)
+            row = {
+                "metric": f"{name}_{tr_size}_bs{tr_bs}_train_step_only",
+                "value": round(tr_bs / t, 2),
+                "unit": "images/sec/chip",
+                "ms_per_batch": round(t * 1e3, 2),
+                "note": "device-resident inputs, chained iters — the e2e ceiling",
             }
             ROWS.append(row)
             print(json.dumps(row), flush=True)
