@@ -87,26 +87,48 @@ def main() -> int:
         cfg_path = log_dir / "cell_cfg.yaml"
         cfg_path.write_text(yaml.safe_dump(cfg))
 
-        t0 = time.perf_counter()
-        env = dict(os.environ)
-        env.setdefault("PYTHONPATH", str(ROOT))
-        proc = subprocess.run(
-            [sys.executable, str(ROOT / "cli" / "train.py"),
-             "--model", "res/configs/model/yolov5s.yaml",
-             "--data", DATA, "--cfg", str(cfg_path),
-             "--log-dir", str(log_dir)],
-            cwd=ROOT, env=env, capture_output=True, text=True, timeout=3 * 3600,
-        )
-        dt = time.perf_counter() - t0
-        if proc.returncode != 0:
-            print(f"cell {cell} FAILED rc={proc.returncode}", file=sys.stderr)
-            print(proc.stderr[-3000:], file=sys.stderr)
-            results[cell] = {"error": proc.returncode}
-            continue
-
-        ckpts = sorted(log_dir.glob("train/*/weights/best.ckpt"))
         from ayolov2_tpu.utils.checkpoint import load_checkpoint
 
+        # Resumability: a cell whose latest run already finished the full
+        # budget (last.ckpt meta epoch == epochs-1) is collected, not
+        # retrained — the sweep can be relaunched after an interruption
+        # without burning chip time on completed cells.
+        collected = False
+        dt = 0.0
+        done = sorted(log_dir.glob("train/*/weights/last.ckpt"))
+        if done:
+            try:
+                last_meta = load_checkpoint(done[-1])["meta"]
+                collected = int(last_meta.get("epoch", -1)) >= args.epochs - 1
+            except Exception:
+                collected = False
+        if collected:
+            print(f"cell {cell}: completed run found, collecting", flush=True)
+        else:
+            # drop any partial (interrupted) run so the rerun is a clean cell
+            for stale in sorted(log_dir.glob("train/*")):
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+            t0 = time.perf_counter()
+            env = dict(os.environ)
+            env.setdefault("PYTHONPATH", str(ROOT))
+            proc = subprocess.run(
+                [sys.executable, str(ROOT / "cli" / "train.py"),
+                 "--model", "res/configs/model/yolov5s.yaml",
+                 "--data", DATA, "--cfg", str(cfg_path),
+                 "--log-dir", str(log_dir)],
+                cwd=ROOT, env=env, capture_output=True, text=True,
+                timeout=3 * 3600,
+            )
+            dt = time.perf_counter() - t0
+            if proc.returncode != 0:
+                print(f"cell {cell} FAILED rc={proc.returncode}", file=sys.stderr)
+                print(proc.stderr[-3000:], file=sys.stderr)
+                results[cell] = {"error": proc.returncode}
+                continue
+
+        ckpts = sorted(log_dir.glob("train/*/weights/best.ckpt"))
         meta = load_checkpoint(ckpts[-1])["meta"] if ckpts else {}
         metrics_files = sorted(log_dir.glob("train/*/metrics.json"))
         final = {}
@@ -120,6 +142,7 @@ def main() -> int:
             "final_metrics": {k: v for k, v in final.items()
                               if not isinstance(v, dict)},
             "wall_s": round(dt, 1),
+            "collected_from_prior_run": collected,
             "epochs": args.epochs,
             "device_aug": bool(cfg["train"].get("device_aug", False)),
         }
