@@ -20,11 +20,16 @@ from ayolov2_tpu.parallel.mesh import (
     shard_batch,
     zero_sharding,
 )
-from ayolov2_tpu.parallel.serve import make_latency_serving_fn, make_sharded_serving_fn
+from ayolov2_tpu.parallel.serve import (
+    make_latency_serving_fn,
+    make_sharded_serving_fn,
+    serve_stream,
+)
 
 __all__ = [
     "make_sharded_serving_fn",
     "make_latency_serving_fn",
+    "serve_stream",
     "zero_sharding",
     "tp_sharding",
     "get_mesh",

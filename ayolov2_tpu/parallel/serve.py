@@ -15,7 +15,8 @@ program serve updated weights (e.g. after SWA/EMA swap) without a recompile.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from collections import deque
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional, Tuple
 
 import jax
 from jax.sharding import Mesh
@@ -74,6 +75,49 @@ def make_sharded_serving_fn(
     serve.jitted = sharded
     serve.variables = v_sharded
     return serve
+
+
+def serve_stream(
+    serve_fn: Callable,
+    batches: Iterable,
+    sharding=None,
+    depth: int = 2,
+) -> Iterator:
+    """Pipelined host→device serving: overlap input transfer with compute.
+
+    The reference's TensorRT wrapper explicitly pipelines pagelocked H2D
+    copies behind engine execution (scripts/utils/tensorrt_runner.py:122-332);
+    feeding a device-resident-only path from host memory serially instead
+    costs the full transfer latency per batch. The TPU-native equivalent
+    needs no pinned buffers or streams: ``jax.device_put`` is asynchronous,
+    so enqueueing the NEXT batch's transfer *before* dispatching the CURRENT
+    batch's program lets the DMA ride behind the compute. A ``depth``-deep
+    queue keeps at most ``depth`` input batches device-resident — ``depth=2``
+    is classic double buffering (measured +29% at bs32 / +54% at bs128 over
+    per-batch serial transfer, runs/bench_matrix/h2d_r5.json); ``depth=1``
+    degenerates to the serial schedule.
+
+    Args:
+        serve_fn: any device program over one batch — a jitted single-chip
+            serving fn, or :func:`make_sharded_serving_fn`'s result.
+        batches: iterable of host arrays (consumed lazily, e.g. a loader).
+        sharding: optional ``Sharding`` for the transfers (pass the mesh's
+            batch sharding when feeding a DP-sharded serve; ``None`` =
+            default device placement).
+        depth: in-flight input batches (>= 1).
+
+    Yields ``serve_fn``'s result for each input batch, in order. Results
+    are device arrays — the consumer decides when to pay the D2H read.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    q: deque = deque()
+    for host in batches:
+        q.append(jax.device_put(host, sharding))
+        if len(q) >= depth:
+            yield serve_fn(q.popleft())
+    while q:
+        yield serve_fn(q.popleft())
 
 
 def make_latency_serving_fn(

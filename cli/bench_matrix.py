@@ -205,13 +205,16 @@ def main() -> int:
             sync_det(serve_h(jnp.asarray(hosts[0])))
 
             def run_overlap(n=args.iters):
+                # the production API is what gets timed: serve_stream's
+                # depth-2 double buffering (parallel/serve.py)
+                from ayolov2_tpu.parallel import serve_stream
+
                 t0 = time.perf_counter()
                 det = None
-                cur = jax.device_put(hosts[0])
-                for i in range(n):
-                    nxt = jax.device_put(hosts[(i + 1) % 2])
-                    det, _ = serve_h(cur)
-                    cur = nxt
+                stream = serve_stream(
+                    serve_h, (hosts[i % 2] for i in range(n)), depth=2)
+                for det, _ in stream:
+                    pass
                 float(jnp.sum(det))
                 return (time.perf_counter() - t0) / n
 

@@ -75,3 +75,63 @@ def test_sharded_serve_int8(tiny):
     det8, n8 = serve8(x)
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n8))
     np.testing.assert_allclose(np.asarray(det1), np.asarray(det8), atol=1e-5, rtol=1e-5)
+
+
+def test_serve_stream_matches_per_batch_and_is_lazy():
+    """serve_stream (the TrtWrapper pipelined-H2D analogue) must be a pure
+    scheduling change: per-batch results identical to calling serve_fn
+    directly, yielded in order, with the input iterable consumed lazily
+    (at most ``depth`` batches ahead of the yields)."""
+    from ayolov2_tpu.parallel import serve_stream
+
+    fn = jax.jit(lambda x: (x.astype(jnp.float32) * 2 + 1, jnp.sum(x, axis=(1, 2, 3))))
+    rng = np.random.default_rng(0)
+    hosts = [rng.integers(0, 255, (4, 8, 8, 3), np.uint8) for _ in range(5)]
+    want = [fn(jnp.asarray(h)) for h in hosts]
+
+    consumed = []
+
+    def feeder():
+        for i, h in enumerate(hosts):
+            consumed.append(i)
+            yield h
+
+    got = []
+    for i, out in enumerate(serve_stream(fn, feeder(), depth=2)):
+        got.append(out)
+        # after yield i, at most i+1 results exist and at most i+1+depth
+        # inputs have been pulled (double buffering, not slurping the
+        # whole stream)
+        assert len(consumed) <= i + 1 + 2
+    assert len(got) == len(hosts)
+    for (y, ny), (w, nw) in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(w))
+        np.testing.assert_array_equal(np.asarray(ny), np.asarray(nw))
+
+
+def test_serve_stream_depths_and_sharded_feed(tiny):
+    """depth=1 (serial) and depth=3 give identical results, and the stream
+    feeds a mesh-sharded serving fn when given the batch sharding."""
+    from ayolov2_tpu.parallel import batch_sharding, serve_stream
+
+    _, model, fused = tiny
+    mesh = get_mesh()
+    serve8 = make_sharded_serving_fn(
+        mesh, model, fused, keep_top_k=10, top_k=32,
+        image_dtype=jnp.float32, img_hw=(64, 64),
+    )
+    rng = np.random.default_rng(2)
+    hosts = [rng.integers(0, 255, (8, 64, 64, 3), np.uint8) for _ in range(3)]
+    want = [serve8(jnp.asarray(h)) for h in hosts]
+
+    shard = batch_sharding(mesh, 4)
+    for depth in (1, 3):
+        outs = list(serve_stream(serve8, hosts, sharding=shard, depth=depth))
+        assert len(outs) == len(hosts)
+        for (d, n), (dw, nw) in zip(outs, want):
+            np.testing.assert_array_equal(np.asarray(n), np.asarray(nw))
+            np.testing.assert_allclose(
+                np.asarray(d), np.asarray(dw), atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="depth"):
+        list(serve_stream(serve8, hosts, depth=0))
