@@ -195,7 +195,8 @@ def _axis_weight_matrix(scale, off, lo, hi, src_off, out_len: int, S: int):
     return W
 
 
-def _render_canvas_separable(frames, src_idx, rects, offs, minv, out_hw: Tuple[int, int], S: int):
+def _render_canvas_separable(frames, src_idx, rects, offs, minv, out_hw: Tuple[int, int], S: int,
+                             dt=jnp.float32):
     """One sample, one pair member — axis-aligned warps only.
 
     Requires minv[0,1] == minv[1,0] == minv[2,0] == minv[2,1] == 0 (hyp
@@ -206,8 +207,15 @@ def _render_canvas_separable(frames, src_idx, rects, offs, minv, out_hw: Tuple[i
     FILL·(1 - coverage) where coverage is the outer product of the weight
     matrices' row sums. This turns ~4·h·w random gathers per image (the
     measured 640px bottleneck — TPU gathers are slow) into batched MXU
-    matmuls. frames is (N, S, S, 3) f32; returns (h, w, 3) f32 unrounded,
-    same values as _render_canvas up to f32 summation order."""
+    matmuls. frames is (N, S, S, 3) in dtype dt; returns (h, w, 3) f32
+    unrounded, same values as _render_canvas up to f32 summation order.
+
+    dt: matmul input dtype. bfloat16 runs the MXU at ~4x the f32 rate;
+    accumulation stays f32 (preferred_element_type). uint8 pixels are
+    exact in bf16 (integers <= 256); only the bilinear weights round
+    (2^-9 relative, tighter than cv2's own 5-bit fixed-point weights on
+    the host path) — measured <= 1 LSB drift vs the f32 renderer
+    (tests/test_device_augment.py::test_separable_bf16_matches_f32)."""
     h, w = out_hw
     z = minv[2, 2]
     acc = jnp.zeros((h, w, 3), jnp.float32)
@@ -218,8 +226,10 @@ def _render_canvas_separable(frames, src_idx, rects, offs, minv, out_hw: Tuple[i
         R = _axis_weight_matrix(minv[1, 1] / z, minv[1, 2] / z,
                                 rects[k, 1], rects[k, 3], offs[k, 1], h, S)
         f = frames[src_idx[k]]
-        t = jnp.tensordot(R, f, axes=((1,), (0,)))   # (h, S, 3): contract sy
-        acc = acc + jnp.einsum("hxc,wx->hwc", t, C)  # contract sx
+        t = jnp.tensordot(R.astype(dt), f, axes=((1,), (0,)),
+                          preferred_element_type=jnp.float32)  # (h, S, 3): contract sy
+        acc = acc + jnp.einsum("hxc,wx->hwc", t.astype(dt), C.astype(dt),
+                               preferred_element_type=jnp.float32)  # contract sx
         cov = cov + R.sum(1)[:, None] * C.sum(1)[None, :]
     return acc + FILL * (1.0 - cov)[..., None]
 
@@ -281,8 +291,32 @@ def _render_sample(frames, src_idx, rects, offs, minv, blend, hsv, flips,
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
 
+def _render_body(img_size: int, frame_size: int, pairs: int, mode: str, dtype):
+    """The un-jitted batch renderer (shared by the local and sharded jits)."""
+
+    def render(frames, src_idx, rects, offs, minv, blend, hsv, flips):
+        import functools
+
+        n = frames.shape[0]
+        if mode == "gather":
+            frames_f = frames.astype(jnp.float32)
+            frames_f = frames_f.reshape(n * frame_size * frame_size, 3)
+            canvas_fn = _render_canvas
+        else:
+            frames_f = frames.astype(dtype)
+            canvas_fn = functools.partial(_render_canvas_separable, dt=dtype)
+        fn = lambda si, rc, of, mv, bl, hs, fl: _render_sample(
+            frames_f, si, rc, of, mv, bl, hs, fl,
+            (img_size, img_size), frame_size, pairs, canvas_fn,
+        )
+        return jax.vmap(fn)(src_idx, rects, offs, minv, blend, hsv, flips)
+
+    return render
+
+
 def make_render_fn(img_size: int, frame_size: int, pairs: int = 1,
-                   mode: str = "gather"):
+                   mode: str = "gather", dtype=jnp.float32,
+                   mesh=None, axis: str = "data"):
     """Build the jitted batch renderer.
 
     Args:
@@ -292,6 +326,20 @@ def make_render_fn(img_size: int, frame_size: int, pairs: int = 1,
         mode: "gather" (any warp; bilinear taps as random gathers) or
             "separable" (axis-aligned warps only; MXU matmul renderer —
             the fast path for the reference's default hyp).
+        dtype: separable-mode matmul input dtype (bfloat16 is the default
+            everywhere: uint8 pixels are exact in bf16 and TPU f32 matmuls
+            already multiply in bf16, so bf16 operands only drop HBM
+            traffic; f32 accumulation either way). Ignored by the gather
+            renderer (gather-bound; f32 taps keep it the exactness
+            reference).
+        mesh: optional jax.sharding.Mesh — when given, the renderer is
+            compiled as one SPMD program over the mesh: source frames
+            REPLICATED, every per-sample geometry input and the rendered
+            batch sharded over ``axis`` (batch dim 0). Each device renders
+            only its batch shard and the output is born with the train
+            step's input sharding — augmentation throughput scales with
+            the mesh and no post-render reshard is paid.
+        axis: mesh axis name carrying the batch dimension.
 
     Returns render(frames, src_idx, rects, offs, minv, blend, hsv, flips)
     -> (B, s, s, 3) uint8, where frames is (N, S, S, 3) uint8 — the resident
@@ -300,21 +348,19 @@ def make_render_fn(img_size: int, frame_size: int, pairs: int = 1,
     if mode not in ("gather", "separable"):
         raise ValueError(f"unknown render mode {mode!r}")
 
-    def render(frames, src_idx, rects, offs, minv, blend, hsv, flips):
-        n = frames.shape[0]
-        frames_f = frames.astype(jnp.float32)
-        if mode == "gather":
-            frames_f = frames_f.reshape(n * frame_size * frame_size, 3)
-            canvas_fn = _render_canvas
-        else:
-            canvas_fn = _render_canvas_separable
-        fn = lambda si, rc, of, mv, bl, hs, fl: _render_sample(
-            frames_f, si, rc, of, mv, bl, hs, fl,
-            (img_size, img_size), frame_size, pairs, canvas_fn,
-        )
-        return jax.vmap(fn)(src_idx, rects, offs, minv, blend, hsv, flips)
+    render = _render_body(img_size, frame_size, pairs, mode, dtype)
+    if mesh is None:
+        return jax.jit(render)
 
-    return jax.jit(render)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _bs(ndim):
+        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+    repl = NamedSharding(mesh, P())
+    # (frames, src_idx, rects, offs, minv, blend, hsv, flips)
+    in_sh = (repl, _bs(3), _bs(4), _bs(4), _bs(4), _bs(1), _bs(2), _bs(2))
+    return jax.jit(render, in_shardings=in_sh, out_shardings=_bs(4))
 
 
 class DeviceAugmenter:
@@ -327,25 +373,39 @@ class DeviceAugmenter:
 
     def __init__(self, img_size: int, frame_size: int, pairs: int = 1,
                  resident_frames: Optional[np.ndarray] = None,
-                 mode: str = "auto") -> None:
+                 mode: str = "auto", dtype: str = "bfloat16",
+                 mesh=None, axis: str = "data") -> None:
         import os
 
         mode = os.environ.get("AYOLO_DEVICE_AUG_MODE", mode)
         if mode not in ("auto", "gather", "separable"):
             raise ValueError(f"unknown render mode {mode!r}")
+        dtype = os.environ.get("AYOLO_DEVICE_AUG_DTYPE", dtype)
+        if dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown render dtype {dtype!r}")
         self.img_size = img_size
         self.frame_size = frame_size
         self.pairs = pairs
         self.mode = mode
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.mesh = mesh
+        self.axis = axis
         self._render_fns: Dict[str, Any] = {}
         self._frames = None
         if resident_frames is not None:
-            self._frames = jax.device_put(np.ascontiguousarray(resident_frames))
+            frames = np.ascontiguousarray(resident_frames)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._frames = jax.device_put(frames, NamedSharding(mesh, P()))
+            else:
+                self._frames = jax.device_put(frames)
 
     def _fn(self, mode: str):
         if mode not in self._render_fns:
             self._render_fns[mode] = make_render_fn(
-                self.img_size, self.frame_size, self.pairs, mode)
+                self.img_size, self.frame_size, self.pairs, mode,
+                dtype=self.dtype, mesh=self.mesh, axis=self.axis)
         return self._render_fns[mode]
 
     @staticmethod

@@ -499,6 +499,12 @@ class YoloTrainer(AbstractTrainer):
                 pairs=int(batch.minv.shape[1]),
                 resident_frames=getattr(ds, "resident_frames", None)
                 if getattr(ds, "device_aug_resident", False) else None,
+                dtype=str(self.tcfg.get("device_aug_dtype", "bfloat16")),
+                # one SPMD render over the data mesh: frames replicated,
+                # geometry + rendered batch sharded on 'data' — augmentation
+                # scales with the mesh and the output is born with the train
+                # step's input sharding (no post-render reshard).
+                mesh=self.mesh,
             )
         return self._augmenter(batch)
 

@@ -345,6 +345,25 @@ def main() -> int:
             ROWS.append(row)
             print(json.dumps(row), flush=True)
 
+        # renderer-only attribution row: the device time the aug program
+        # itself costs per batch (chained iters on the last PlanBatch). The
+        # e2e gap = this + plan H2D + dispatch not hidden by the loader.
+        if "device" in modes and last_batch is not None and last_batch.images is None:
+            pb = last_batch
+            dt_name = np.dtype(augmenter.dtype).name
+            t = _hard_time(lambda: augmenter(pb), lambda r: float(jnp.sum(r)),
+                           iters=args.iters)
+            row = {
+                "metric": f"{name}_{tr_size}_bs{tr_bs}_render_only_{dt_name}",
+                "value": round(tr_bs / t, 2),
+                "unit": "images/sec/chip",
+                "ms_per_batch": round(t * 1e3, 2),
+                "render_mode": augmenter.mode,
+                "note": "device-aug renderer alone (chained iters, resident frames)",
+            }
+            ROWS.append(row)
+            print(json.dumps(row), flush=True)
+
     if "tta" in args.configs:
         from ayolov2_tpu.ops.tta import inference_with_tta
 

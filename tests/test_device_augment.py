@@ -158,7 +158,7 @@ def test_separable_matches_gather():
     aug_g = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames,
                             mode="gather")
     aug_s = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames,
-                            mode="separable")
+                            mode="separable", dtype="float32")
     for idx in range(6):
         for salt in (0, 1):
             plan, lab, path, shp = plan_ds.plan_item(idx, salt)
@@ -167,6 +167,35 @@ def test_separable_matches_gather():
             d = np.abs(img_g.astype(np.int32) - img_s.astype(np.int32))
             assert d.max() <= 2, f"idx {idx} salt {salt}: max |diff| {d.max()}"
             assert (d > 0).mean() < 0.001, f"idx {idx} salt {salt}: {(d > 0).mean():.5f} pixels differ"
+
+
+@needs_fixtures
+def test_separable_bf16_matches_f32():
+    """The bf16-matmul separable renderer (the default — MXU at ~4x the f32
+    rate) vs the f32 renderer: uint8 pixels are exact in bf16, only the
+    bilinear weights round (2^-9 relative, tighter than cv2's 5-bit
+    fixed-point weights on the host path), f32 accumulation either way.
+    Drift bound, measured on XLA:CPU (true f32 matmuls — on TPU the default
+    matmul precision is already bf16 multiplies, so both dtypes coincide
+    there): worst max|d| 6, frac(|d|>3) <= 7.5e-4 across a 12-cell grid —
+    weight rounding (~0.5 LSB pre-round) lands on mixup's floor() and HSV's
+    gain (<= 1.7x) boundaries. The HOST parity contract (mean <= 1.5,
+    frac(>3) <= 6%, test_separable_matches_host) is the binding one and
+    holds for both dtypes."""
+    ya = dict(AXIS_ALIGNED, mosaic=0.5, mixup=0.5)
+    _, plan_ds = _pair(ya)
+    aug_b = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames,
+                            mode="separable", dtype="bfloat16")
+    aug_f = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames,
+                            mode="separable", dtype="float32")
+    for idx in range(6):
+        for salt in (0, 1):
+            plan, lab, path, shp = plan_ds.plan_item(idx, salt)
+            img_b = _render1(aug_b, plan, lab, path, shp)
+            img_f = _render1(aug_f, plan, lab, path, shp)
+            d = np.abs(img_b.astype(np.int32) - img_f.astype(np.int32))
+            assert d.max() <= 8, f"idx {idx} salt {salt}: max |diff| {d.max()}"
+            assert (d > 3).mean() <= 2e-3, f"idx {idx} salt {salt}: {(d > 3).mean():.5f} pixels differ >3"
 
 
 @needs_fixtures
@@ -255,3 +284,51 @@ def test_trainer_device_aug_smoke(tmp_path):
     assert int(trainer.state.step) == len(loader)
     assert np.isfinite(trainer.mloss).all()
     assert (tmp_path / "weights" / "last.ckpt").exists()
+
+
+@needs_fixtures
+def test_sharded_render_matches_local():
+    """DP-sharded SPMD render over the 8-device mesh (frames replicated,
+    geometry + output sharded on 'data'): matches the local renderer within
+    a 1-LSB rounding flip on a vanishing fraction of pixels (different
+    executable, different fusion order), and the output is born with the
+    train step's input sharding — the augmentation program scales with the
+    mesh instead of serializing on device 0 (the multi-chip input-pipeline
+    path the trainer now uses)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ayolov2_tpu.parallel import get_mesh
+
+    mesh = get_mesh()
+    n_dev = mesh.devices.size
+    ya = dict(AXIS_ALIGNED, mosaic=0.5, mixup=0.5)
+    _, plan_ds = _pair(ya)
+    items = [plan_ds.plan_item(i % 6, i // 6) for i in range(n_dev)]
+    batch = collate_plans(items, n_dev, 64)
+    aug_l = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames)
+    aug_m = DeviceAugmenter(128, 128, 2, resident_frames=plan_ds.resident_frames,
+                            mesh=mesh)
+    out_l = np.asarray(aug_l(batch))
+    out_m = aug_m(batch)
+    assert out_m.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), out_m.ndim)
+    assert len({d.device for d in out_m.addressable_shards}) == n_dev
+    # same math, different executable: fusion order may flip a rounding
+    # boundary on a vanishing fraction of pixels (measured 3/393k, 1 LSB)
+    d = np.abs(out_l.astype(np.int32) - np.asarray(out_m).astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() <= 1e-4, (d.max(), (d > 0).mean())
+
+    # the gather renderer shards the same way (rotated plans)
+    _, rot_ds = _pair(FULL_AUG)
+    items_r = [rot_ds.plan_item(i % 6, 0) for i in range(n_dev)]
+    batch_r = collate_plans(items_r, n_dev, 64)
+    aug_lr = DeviceAugmenter(128, 128, 1, resident_frames=rot_ds.resident_frames)
+    aug_mr = DeviceAugmenter(128, 128, 1, resident_frames=rot_ds.resident_frames,
+                             mesh=mesh)
+    out_lr = np.asarray(aug_lr(batch_r))
+    out_mr = aug_mr(batch_r)
+    assert out_mr.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), out_mr.ndim)
+    d = np.abs(out_lr.astype(np.int32) - np.asarray(out_mr).astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() <= 1e-4, (d.max(), (d > 0).mean())
