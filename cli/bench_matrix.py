@@ -288,11 +288,14 @@ def main() -> int:
             loader = DataLoader(ds, batch_size=tr_bs, shuffle=True,
                                 drop_last=True, workers=2)
             state = create_train_state(var_tr, tx)
-            # one warmup epoch compiles step (+ renderer) and fills caches
+            # one warmup epoch compiles step (+ renderer) and fills caches;
+            # raise AYOLO_TRAIN_E2E_EPOCHS when bs approaches the fixture
+            # size (99 imgs) so enough batches land in the timed window
+            n_epochs = int(os.environ.get("AYOLO_TRAIN_E2E_EPOCHS", 3))
             n_img = 0
             t0 = None
             items = None
-            for epoch in range(3):
+            for epoch in range(n_epochs):
                 for batch in loader:
                     imgs = augmenter(batch) if mode == "device" else jnp.asarray(batch.images)
                     state, items = step(state, imgs, jnp.asarray(batch.targets),
@@ -309,7 +312,7 @@ def main() -> int:
                 "metric": f"{name}_{tr_size}_bs{tr_bs}_train_e2e_{mode}_aug",
                 "value": round(n_img / dt, 2),
                 "unit": "images/sec/chip",
-                "epochs_timed": 2,
+                "epochs_timed": n_epochs - 1,
                 "note": "real loader + real step, overlapped (2 workers); "
                         f"{mode}-side augmentation",
             }
